@@ -1,0 +1,240 @@
+"""Runtime configuration for the TPU-native SLAM pipeline.
+
+Mirrors the reference's compile-time constant namespace
+(`/root/reference/include/Config.h:7-148`) as a frozen dataclass so that a
+single config object can be threaded through jitted code as static metadata.
+Static-shape capacities (`max_keypoints`, `map_capacity`, ...) are new — the
+reference uses dynamically-sized OpenCV containers; on TPU every array is
+fixed-shape with validity masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics. Defaults: TUM freiburg2 (Config.h:10-17)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+
+    # Depth sensor (Config.h:28-30)
+    depth_scale: float = 5000.0  # 16-bit PNG value -> meters divisor
+    depth_min: float = 0.1
+    depth_max: float = 10.0
+
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """SuperPoint detection + matching (Config.h:40-58)."""
+
+    # SuperPoint decode (Config.h:40-42)
+    sp_confidence_threshold: float = 0.005
+    sp_nms_radius: int = 4
+    max_keypoints: int = 400  # static keypoint capacity per frame
+
+    # MiDaS (Config.h:45)
+    midas_input_size: int = 256
+
+    # Matching (Config.h:53-58)
+    l2_ratio_threshold: float = 0.75
+    flann_ratio_threshold: float = 0.7
+    min_matches: int = 30
+    min_inliers: int = 15
+    mutual_check: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    """Two-view motion estimation (Config.h:61-73, 129)."""
+
+    # Essential-matrix RANSAC (Config.h:61-62)
+    em_ransac_iters: int = 256  # batched hypotheses (reference: prob-adaptive)
+    em_ransac_threshold_px: float = 1.0
+
+    # Fundamental gate (Slam.cpp:885 uses FM_RANSAC 3.0 px)
+    fm_ransac_iters: int = 256
+    fm_ransac_threshold_px: float = 3.0
+
+    # 3D-3D RANSAC (Config.h:65-67)
+    r3d_iters: int = 256  # reference: 200 sequential; we batch
+    r3d_inlier_thresh: float = 0.05
+    r3d_max_translation: float = 0.2
+    r3d_min_translation: float = 1e-4
+
+    # Monocular scale fallback (Config.h:129)
+    motion_scale: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """PnP refinement/recovery/periodic policy (Config.h:76-84)."""
+
+    interval: int = 5
+    min_points: int = 10
+    ransac_threshold_px: float = 8.0
+    ransac_iters: int = 256
+    gn_iters: int = 10
+    recovery_max_jump: float = 1.5
+    recovery_blend_close: float = 0.8
+    recovery_blend_far: float = 0.3
+    refine_max_jump: float = 1.0
+    periodic_max_jump: float = 1.5
+    periodic_blend: float = 0.5
+    recovery_cooldown_frames: int = 10  # Slam.cpp:559 cooldown
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Map store capacities + keyframe / triangulation / culling policy.
+
+    Policy constants: Config.h:70-73 (triangulation), 87-88 (keyframe),
+    108-115 (tracking + culling); capacities are TPU static shapes.
+    """
+
+    map_capacity: int = 16384  # max live map points
+    keyframe_capacity: int = 128  # keyframe ring size
+
+    # Triangulation gates (Config.h:70-73)
+    triang_max_reproj_px: float = 3.0
+    triang_min_depth: float = 0.05
+    triang_max_depth: float = 50.0
+    triang_max_cam_dist: float = 5.0
+
+    # Keyframe policy (Config.h:87-88; Slam.cpp:1062-1070)
+    kf_min_frame_gap: int = 10
+    kf_min_matches: int = 50
+    kf_proactive_max_matches: int = 60
+    kf_proactive_min_gap: int = 5
+
+    # Local-map tracking (Config.h:108-111)
+    track_search_radius_px: float = 12.0
+    track_desc_threshold: float = 0.5
+    track_visibility_radius_px: float = 8.0
+
+    # Culling (Config.h:114-115; Slam.cpp:1111-1126, 473-500)
+    cull_found_ratio_young: float = 0.15
+    cull_found_ratio_old: float = 0.30
+    cull_reproj_px: float = 20.0
+    cull_interval_kfs: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop closure (Config.h:91-96)."""
+
+    min_frame_gap: int = 200
+    min_inliers: int = 30
+    check_interval_kfs: int = 200
+    max_jump: float = 0.5
+    min_jump: float = 0.01
+    nearby_frame_range: int = 30
+    kf_stride: int = 5  # LoopCloser.cpp:43-48: every 5th candidate KF
+
+
+@dataclasses.dataclass(frozen=True)
+class EKFConfig:
+    """6-state constant-velocity EKF + gravity/height prior (Config.h:140-146)."""
+
+    sigma_vis_3d3d: float = 0.04
+    sigma_vis_emat: float = 0.10
+    sigma_height: float = 0.01
+    process_accel: float = 1.0
+    vel_decay: float = 0.95
+    innovation_gate: float = 0.3
+    max_step: float = 0.10
+    stationary_accel_std: float = 0.15  # Slam.cpp:1621-1651
+    stationary_window_s: float = 0.1
+    stationary_kf_rot_drift: float = 0.25  # Slam.cpp:618-694
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """LM pose optimizer / local BA / PGO (Config.h:98-105, 132-137)."""
+
+    enable_local_ba: bool = False  # matches reference default (Config.h:99)
+    ba_max_jump: float = 0.5
+    ba_window_kfs: int = 10
+    ba_max_points: int = 2048
+    ba_huber_px: float = 5.0
+    max_iterations: int = 10
+    convergence: float = 1e-6
+    lm_lambda: float = 1e-3
+
+    pgo_odom_trans_sigma: float = 0.05
+    pgo_odom_rot_sigma: float = 0.02
+    pgo_lc_trans_sigma: float = 0.03
+    pgo_lc_rot_sigma: float = 0.01
+    pgo_height_sigma: float = 0.005
+    pgo_iterations: int = 20
+    max_loop_constraints: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseConfig:
+    """Dense RGB-D fusion (Config.h:118-120)."""
+
+    pixel_step: int = 8
+    max_depth: float = 5.0
+    voxel_size: float = 0.02
+    hash_capacity: int = 1 << 21  # device-side voxel hash table slots
+    cloud_capacity: int = 1 << 20  # max accumulated dense points
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Orchestration (Config.h:123; main.cpp:1036-1478)."""
+
+    frame_step: int = 3  # process every Nth frame
+    chunk_size: int = 64  # frames per scanned device chunk
+    inference_batch: int = 16  # SuperPoint batch size in the frontend
+    dtype_compute: str = "bfloat16"  # conv compute dtype
+    dtype_geometry: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    motion: MotionConfig = dataclasses.field(default_factory=MotionConfig)
+    pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    loop: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    ekf: EKFConfig = dataclasses.field(default_factory=EKFConfig)
+    opt: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    dense: DenseConfig = dataclasses.field(default_factory=DenseConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    rgbd: bool = True  # RGB-D (3D-3D path) vs monocular (E-matrix path)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_config() -> SlamConfig:
+    """Small-capacity config for fast CPU tests and multi-chip dry runs."""
+    return SlamConfig(
+        camera=CameraConfig(width=160, height=120, fx=120.0, fy=120.0, cx=79.5, cy=59.5),
+        frontend=FrontendConfig(max_keypoints=64),
+        motion=MotionConfig(em_ransac_iters=32, fm_ransac_iters=32, r3d_iters=32),
+        pnp=PnPConfig(ransac_iters=32),
+        map=MapConfig(map_capacity=512, keyframe_capacity=16),
+        opt=OptimizerConfig(ba_max_points=128, max_loop_constraints=8),
+        dense=DenseConfig(hash_capacity=1 << 12, cloud_capacity=1 << 12),
+        runtime=RuntimeConfig(chunk_size=8, inference_batch=4),
+    )

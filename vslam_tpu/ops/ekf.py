@@ -1,0 +1,170 @@
+"""6-state (position + velocity) EKF and RTS backward smoother.
+
+TPU-native rebuild of the reference filter (`/root/reference/src/Slam.cpp:
+1654-1744` predict/update/height, `:986-1047` gating/clamp/snapshots,
+`:1761-1810` RTS). The per-frame filter is a pure function suitable for
+`lax.scan`; the smoother is a backward `lax.scan` over stacked snapshots.
+All 6x6 algebra is closed-form f32 — no host round trips.
+
+State layout: x = [px, py, pz, vx, vy, vz], P (6, 6).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EKFState(NamedTuple):
+    x: jnp.ndarray  # (6,)
+    P: jnp.ndarray  # (6, 6)
+    initialized: jnp.ndarray  # () bool
+    last_time: jnp.ndarray  # () f32
+
+
+class EKFSnapshot(NamedTuple):
+    """Per-frame snapshot for the RTS smoother (`Slam.h:215-223`)."""
+
+    x_pred: jnp.ndarray  # (6,)
+    P_pred: jnp.ndarray  # (6, 6)
+    x_filt: jnp.ndarray  # (6,)
+    P_filt: jnp.ndarray  # (6, 6)
+    dt: jnp.ndarray  # ()
+    frame_id: jnp.ndarray  # () int32
+
+
+def initialize(pos, timestamp, dtype=jnp.float32):
+    """`ekf_initialize` (`Slam.cpp:1654-1665`): P = diag(1e-3 x3, 1e-2 x3)."""
+    x = jnp.concatenate([pos.astype(dtype), jnp.zeros(3, dtype)])
+    P = jnp.diag(jnp.array([1e-3] * 3 + [1e-2] * 3, dtype=dtype))
+    return EKFState(x, P, jnp.asarray(True), jnp.asarray(timestamp, dtype))
+
+
+def _transition(dt, decay, dtype):
+    F = jnp.eye(6, dtype=dtype)
+    F = F.at[:3, 3:].set(jnp.eye(3, dtype=dtype) * dt)
+    F = F.at[3:, 3:].set(jnp.eye(3, dtype=dtype) * decay)
+    return F
+
+
+def predict(state: EKFState, dt, sigma_a=1.0, decay=0.95):
+    """Constant-velocity predict with velocity decay (`Slam.cpp:1668-1695`).
+
+    Skipped (identity) when dt <= 0 or dt >= 1 (`Slam.cpp:993-996`).
+    """
+    dtype = state.x.dtype
+    do = (dt > 0.0) & (dt < 1.0) & state.initialized
+    dts = jnp.where(do, dt, 0.0).astype(dtype)
+
+    F = _transition(dts, jnp.where(do, decay, 1.0).astype(dtype), dtype)
+    x_new = F @ state.x
+    I3 = jnp.eye(3, dtype=dtype)
+    q11 = 0.25 * dts**4 * sigma_a**2
+    q12 = 0.5 * dts**3 * sigma_a**2
+    q22 = dts**2 * sigma_a**2
+    Q = jnp.block([[q11 * I3, q12 * I3], [q12 * I3, q22 * I3]])
+    P_new = F @ state.P @ F.T + Q
+    return state._replace(x=x_new, P=P_new)
+
+
+def _joseph_update(x, P, y, H, Rm):
+    """Joseph-form measurement update (`Slam.cpp:1701-1720`)."""
+    S = H @ P @ H.T + Rm
+    K = P @ H.T @ jnp.linalg.inv(S)
+    x_new = x + K @ y
+    IKH = jnp.eye(6, dtype=x.dtype) - K @ H
+    P_new = IKH @ P @ IKH.T + K @ Rm @ K.T
+    return x_new, P_new
+
+
+def update_visual(state: EKFState, z_pos, sigma_vis, enabled=True):
+    """3D position measurement update with scalar sigma."""
+    dtype = state.x.dtype
+    H = jnp.zeros((3, 6), dtype=dtype).at[:, :3].set(jnp.eye(3, dtype=dtype))
+    Rm = jnp.eye(3, dtype=dtype) * (sigma_vis**2)
+    y = z_pos - state.x[:3]
+    x_new, P_new = _joseph_update(state.x, state.P, y, H, Rm)
+    on = enabled & state.initialized
+    return state._replace(
+        x=jnp.where(on, x_new, state.x), P=jnp.where(on, P_new, state.P)
+    )
+
+
+def update_visual_gated(state: EKFState, z_pos, sigma_vis, gate=0.3, enabled=True):
+    """Innovation gating (`Slam.cpp:1005-1013`): past the gate, the update
+    still runs but with sigma = innovation * 0.5 (soft deweighting)."""
+    innovation = jnp.linalg.norm(z_pos - state.x[:3])
+    sigma = jnp.where(innovation < gate, sigma_vis, innovation * 0.5)
+    return update_visual(state, z_pos, sigma, enabled=enabled)
+
+
+def update_height(state: EKFState, gravity_world, h_target, sigma_h, enabled=True):
+    """Scalar height update along gravity (`Slam.cpp:1724-1744`)."""
+    dtype = state.x.dtype
+    H = jnp.zeros((1, 6), dtype=dtype).at[0, :3].set(gravity_world)
+    Rm = jnp.array([[sigma_h**2]], dtype=dtype)
+    h_pred = jnp.dot(gravity_world, state.x[:3])
+    y = jnp.array([h_target], dtype=dtype) - h_pred
+    x_new, P_new = _joseph_update(state.x, state.P, y, H, Rm)
+    on = enabled & state.initialized
+    return state._replace(
+        x=jnp.where(on, x_new, state.x), P=jnp.where(on, P_new, state.P)
+    )
+
+
+def clamp_step(state: EKFState, prev_pos, dt, max_step=0.10):
+    """Per-frame position step clamp + velocity rewrite (`Slam.cpp:1026-1037`).
+
+    Returns (state, clamped_pos).
+    """
+    delta = state.x[:3] - prev_pos
+    step = jnp.linalg.norm(delta)
+    clamp = (step > max_step) & (step > 1e-6)
+    scale = jnp.where(clamp, max_step / jnp.maximum(step, 1e-9), 1.0)
+    delta_c = delta * scale
+    pos_c = prev_pos + delta_c
+    dt_frame = jnp.maximum(0.01, dt)
+    vel_c = delta_c / dt_frame
+    x_new = jnp.where(
+        clamp, jnp.concatenate([pos_c, vel_c]), state.x
+    )
+    return state._replace(x=x_new), x_new[:3]
+
+
+def rts_smooth(snapshots: EKFSnapshot, valid, decay=0.95):
+    """Rauch-Tung-Striebel backward smoother over stacked snapshots.
+
+    Reference: `Slam.cpp:1761-1810`. Arrays are (N, ...) stacked scan
+    outputs; `valid` masks frames that produced a snapshot. Runs as one
+    backward `lax.scan`; the SVD-based inverse of P_pred becomes a
+    pseudo-inverse via `jnp.linalg.pinv` for parity with cv::DECOMP_SVD.
+
+    Returns smoothed positions (N, 3) (velocity rows are smoothed too but
+    only positions are written back to poses, as in the reference).
+    """
+    N = snapshots.dt.shape[0]
+    dtype = snapshots.x_filt.dtype
+
+    def backward(carry, inp):
+        x_next_s, P_next_s = carry
+        snap_k, snap_next, valid_k = inp
+        F = _transition(snap_next.dt, jnp.asarray(decay, dtype), dtype)
+        P_pred_inv = jnp.linalg.pinv(snap_next.P_pred)
+        C = snap_k.P_filt @ F.T @ P_pred_inv
+        x_s = snap_k.x_filt + C @ (x_next_s - snap_next.x_pred)
+        P_s = snap_k.P_filt + C @ (P_next_s - snap_next.P_pred) @ C.T
+        x_s = jnp.where(valid_k, x_s, snap_k.x_filt)
+        P_s = jnp.where(valid_k, P_s, snap_k.P_filt)
+        return (x_s, P_s), (x_s, P_s)
+
+    # Elements k = N-2 .. 0, each paired with snapshot k+1.
+    snap_k = jax.tree.map(lambda a: a[: N - 1], snapshots)
+    snap_next = jax.tree.map(lambda a: a[1:], snapshots)
+    init = (snapshots.x_filt[N - 1], snapshots.P_filt[N - 1])
+    (_, _), (xs, _) = jax.lax.scan(
+        backward, init, (snap_k, snap_next, valid[: N - 1]), reverse=True
+    )
+    x_smooth = jnp.concatenate([xs, snapshots.x_filt[N - 1 :]], axis=0)
+    return x_smooth[:, :3]

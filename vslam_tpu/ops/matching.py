@@ -1,0 +1,127 @@
+"""Descriptor matching as batched MXU matmuls.
+
+Replaces the reference's FLANN KNN-2 + Lowe ratio matcher
+(`/root/reference/src/Slam.cpp:1140-1172`) and the local-map descriptor
+search (`src/Slam.cpp:380-469`). A 400x400x256 L2 distance matrix is a
+single 400x256 @ 256x400 matmul — exact brute-force KNN is cheaper on the
+MXU than any approximate tree.
+
+Descriptors are L2-normalized (SuperPoint), so
+||a - b||^2 = 2 - 2 a.b; we compute distances from the dot-product matrix.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+
+
+def l2_distance_matrix(desc1, desc2, valid1=None, valid2=None):
+    """(N, D) x (M, D) -> (N, M) L2 distances; invalid rows/cols -> +BIG.
+
+    Dot product in float32 on the MXU (`preferred_element_type`), then the
+    normalized-descriptor identity. Clamps tiny negatives from rounding.
+    """
+    dots = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(2.0 - 2.0 * dots, 0.0)
+    d = jnp.sqrt(d2)
+    if valid1 is not None:
+        d = jnp.where(valid1[:, None], d, _BIG)
+    if valid2 is not None:
+        d = jnp.where(valid2[None, :], d, _BIG)
+    return d
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray  # (N,) int32 — for each desc1 row, matched desc2 index
+    valid: jnp.ndarray  # (N,) bool — passed ratio (+ mutual) test
+    dist: jnp.ndarray  # (N,) float32 — best distance
+
+
+def knn2_ratio_match(
+    desc1,
+    desc2,
+    valid1=None,
+    valid2=None,
+    ratio=0.75,
+    mutual=True,
+    max_dist=None,
+):
+    """KNN-2 + Lowe ratio (+ optional mutual-NN) matcher.
+
+    Mirrors the reference semantics (`src/Slam.cpp:1146-1158`): keep match
+    (i -> j) iff d1(i) < ratio * d2(i). The mutual check additionally
+    requires i == argmin_col(j) — the reference gets a similar effect from
+    its per-keypoint best-distance dedup in local tracking
+    (`src/Slam.cpp:443-456`).
+    """
+    d = l2_distance_matrix(desc1, desc2, valid1, valid2)  # (N, M)
+    # top-2 smallest along axis 1 via top_k on negated distances
+    top2, top2_idx = jax.lax.top_k(-d, 2)
+    d1 = -top2[:, 0]
+    d2 = -top2[:, 1]
+    j = top2_idx[:, 0].astype(jnp.int32)
+
+    ok = d1 < ratio * d2
+    if max_dist is not None:
+        ok = ok & (d1 < max_dist)
+    ok = ok & (d1 < _BIG * 0.5)
+    if valid1 is not None:
+        ok = ok & valid1
+    if mutual:
+        col_best = jnp.argmin(d, axis=0).astype(jnp.int32)  # (M,)
+        ok = ok & (col_best[j] == jnp.arange(d.shape[0], dtype=jnp.int32))
+    return MatchResult(j, ok, d1)
+
+
+def radius_descriptor_match(
+    desc_q,
+    uv_q,
+    valid_q,
+    desc_db,
+    uv_db,
+    valid_db,
+    radius_px,
+    desc_thresh,
+):
+    """Local-map tracking matcher (`src/Slam.cpp:380-469`).
+
+    For each db entry (projected map point), find the best query keypoint
+    within `radius_px` whose descriptor distance < `desc_thresh`; then dedup
+    so each query keypoint keeps only its best db match (the reference's
+    per-keypoint best-distance dedup, `src/Slam.cpp:443-456`).
+
+    Args:
+      desc_q: (K, D) frame keypoint descriptors; uv_q (K, 2); valid_q (K,).
+      desc_db: (M, D) map point descriptors; uv_db (M, 2) projected pixels;
+        valid_db (M,) projected-in-image mask.
+
+    Returns:
+      (mp_idx_per_kp, valid_per_kp, dist_per_kp): for each query keypoint,
+      the matched db index (or -1).
+    """
+    d = l2_distance_matrix(desc_db, desc_q, valid_db, valid_q)  # (M, K)
+    pix = jnp.linalg.norm(uv_db[:, None, :] - uv_q[None, :, :], axis=-1)
+    d = jnp.where(pix <= radius_px, d, _BIG)
+
+    best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)  # (M,)
+    best_d = jnp.min(d, axis=1)
+    mp_ok = (best_d < desc_thresh) & valid_db
+
+    # Dedup: for each keypoint keep the best map point claiming it.
+    K = desc_q.shape[0]
+    d_masked = jnp.where(mp_ok[:, None], d, _BIG)
+    claim = jnp.where(
+        best_kp[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :], d_masked[
+            jnp.arange(d.shape[0]), best_kp
+        ][:, None], _BIG
+    )  # (M, K): distance if mp claims kp else BIG
+    best_mp_per_kp = jnp.argmin(claim, axis=0).astype(jnp.int32)
+    best_dist_per_kp = jnp.min(claim, axis=0)
+    kp_ok = best_dist_per_kp < _BIG * 0.5
+    mp_idx = jnp.where(kp_ok, best_mp_per_kp, -1)
+    return mp_idx, kp_ok, best_dist_per_kp
