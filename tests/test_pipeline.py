@@ -1,0 +1,64 @@
+"""End-to-end tracking pipeline on synthetic sequences with exact ground truth."""
+
+import numpy as np
+import pytest
+
+from vslam_tpu.config import tiny_test_config
+from vslam_tpu.core import pipeline
+from vslam_tpu.data import synthetic
+
+
+def make_tiny_seq(num_frames=20, seed=0, rgbd=True):
+    cfg = tiny_test_config()
+    c = cfg.camera
+    seq = synthetic.make_sequence(
+        num_frames=num_frames,
+        max_keypoints=cfg.frontend.max_keypoints,
+        desc_dim=cfg.frontend.descriptor_dim,
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+        width=c.width, height=c.height,
+        seed=seed,
+        num_landmarks=1500,
+        rgbd=rgbd,
+    )
+    return cfg, seq
+
+
+def test_rgbd_tracking_ate():
+    cfg, seq = make_tiny_seq(num_frames=24)
+    result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    outs = result.outputs
+    # Diagnostics sanity
+    assert int(np.asarray(outs.is_keyframe).sum()) >= 2
+    assert int(np.asarray(outs.used_3d3d)[1:].sum()) > 15  # RGB-D path dominates
+    assert float(np.asarray(outs.num_matches)[1:].mean()) > 20
+    # Trajectory accuracy: cm-level on a noisy synthetic sequence
+    assert ate_res.rmse < 0.05, f"ATE RMSE too high: {ate_res}"
+
+
+def test_tracking_is_deterministic():
+    cfg, seq = make_tiny_seq(num_frames=10)
+    r1, a1 = pipeline.run_synthetic(seq, cfg, use_imu=False)
+    r2, a2 = pipeline.run_synthetic(seq, cfg, use_imu=False)
+    np.testing.assert_array_equal(r1.t, r2.t)
+    assert a1.rmse == a2.rmse
+
+
+def test_smoother_does_not_hurt():
+    cfg, seq = make_tiny_seq(num_frames=24)
+    result, ate_s = pipeline.run_synthetic(seq, cfg, use_imu=True, smooth=True)
+    from vslam_tpu.eval import ate as ate_mod
+
+    ate_raw = ate_mod.compute_ate(
+        result.timestamps, result.t, seq.timestamps, seq.t, with_scale=False
+    )
+    assert ate_s.rmse <= ate_raw.rmse * 1.5 + 1e-3
+
+
+def test_map_grows_and_culls():
+    cfg, seq = make_tiny_seq(num_frames=24)
+    result, _ = pipeline.run_synthetic(seq, cfg, use_imu=False)
+    n_map = int(np.asarray(result.final_state.map.valid).sum())
+    assert 10 < n_map <= cfg.map.map_capacity
+    # keyframes registered in ring
+    assert int(np.asarray(result.final_state.keyframes.valid).sum()) >= 2

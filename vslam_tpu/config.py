@@ -47,6 +47,7 @@ class FrontendConfig:
     sp_confidence_threshold: float = 0.005
     sp_nms_radius: int = 4
     max_keypoints: int = 400  # static keypoint capacity per frame
+    descriptor_dim: int = 256
 
     # MiDaS (Config.h:45)
     midas_input_size: int = 256
@@ -230,7 +231,7 @@ def tiny_test_config() -> SlamConfig:
     """Small-capacity config for fast CPU tests and multi-chip dry runs."""
     return SlamConfig(
         camera=CameraConfig(width=160, height=120, fx=120.0, fy=120.0, cx=79.5, cy=59.5),
-        frontend=FrontendConfig(max_keypoints=64),
+        frontend=FrontendConfig(max_keypoints=64, descriptor_dim=64),
         motion=MotionConfig(em_ransac_iters=32, fm_ransac_iters=32, r3d_iters=32),
         pnp=PnPConfig(ransac_iters=32),
         map=MapConfig(map_capacity=512, keyframe_capacity=16),

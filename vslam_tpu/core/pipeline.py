@@ -1,0 +1,158 @@
+"""Sequence runner: batched frontend + scanned tracking + post-hoc passes.
+
+Rebuilds the reference's orchestration (`/root/reference/src/main.cpp:
+1036-1478` slam_processing_thread + epilogue): the 3-thread mutex pipeline
+becomes (a) a batched jitted SuperPoint frontend over frame chunks, (b) a
+single `lax.scan` of the tracking step over the frame stream, (c) post-hoc
+RTS smoothing (`main.cpp:1311`) and ATE evaluation (`:1333-1338`) — all
+device-side except file I/O.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.core.state import FrameFeatures, StepOutputs, TrackState, init_state
+from vslam_tpu.core.tracking import make_scan_step
+from vslam_tpu.ops import ekf as ekf_ops
+
+
+@dataclass
+class RunResult:
+    timestamps: np.ndarray  # (N,)
+    R: np.ndarray  # (N, 3, 3) raw per-frame poses
+    t: np.ndarray  # (N, 3)
+    t_smoothed: np.ndarray  # (N, 3) RTS-smoothed positions
+    outputs: StepOutputs  # stacked diagnostics
+    final_state: TrackState
+
+
+def features_from_synthetic(seq, stationary=None):
+    """Pack a `SyntheticSequence` into stacked FrameFeatures arrays
+    (the analogue of replaying the reference's feature cache)."""
+    N = seq.kp_xy.shape[0]
+    if stationary is None:
+        stationary = np.zeros(N, dtype=bool)
+    return FrameFeatures(
+        xy=jnp.asarray(seq.kp_xy),
+        desc=jnp.asarray(seq.kp_desc),
+        depth=jnp.asarray(seq.kp_depth),
+        valid=jnp.asarray(seq.kp_valid),
+        timestamp=jnp.asarray(seq.timestamps, dtype=jnp.float32),
+        stationary=jnp.asarray(stationary),
+        frame_id=jnp.arange(N, dtype=jnp.int32),
+    )
+
+
+def compute_gravity_direction(accel, R0):
+    """Mean accel -> world frame -> snap to nearest axis
+    (`src/Slam.cpp:1587-1616`). Host-side (tiny)."""
+    if accel is None or len(accel) == 0:
+        return None, 0.0
+    g_cam = np.mean(np.asarray(accel)[:, 1:4], axis=0)
+    g_world = np.asarray(R0) @ g_cam
+    n = np.linalg.norm(g_world)
+    if n < 1e-6:
+        return None, 0.0
+    g_world = g_world / n
+    axis = int(np.argmax(np.abs(g_world)))
+    snapped = np.zeros(3, dtype=np.float32)
+    snapped[axis] = np.sign(g_world[axis])
+    return snapped, 0.0  # initial height = t0 . g (t0 = 0 in our runs)
+
+
+def detect_stationary(accel, timestamps, window=0.1, threshold=0.15):
+    """Per-frame stationarity from accel-magnitude std in a ±window
+    (`src/Slam.cpp:1621-1651`). Host-side precompute (the reference does a
+    binary search per frame; we vectorize)."""
+    if accel is None or len(accel) == 0:
+        return np.zeros(len(timestamps), dtype=bool)
+    a = np.asarray(accel)
+    mags = np.linalg.norm(a[:, 1:4], axis=-1)
+    ts = a[:, 0]
+    out = np.zeros(len(timestamps), dtype=bool)
+    for i, t in enumerate(np.asarray(timestamps)):
+        lo = np.searchsorted(ts, t - window)
+        hi = np.searchsorted(ts, t + window)
+        if hi - lo >= 5:
+            out[i] = float(np.std(mags[lo:hi])) < threshold
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("config", "seed"))
+def _scan_sequence(state: TrackState, frames: FrameFeatures, config: SlamConfig, seed: int):
+    step = make_scan_step(config, seed=seed)
+    return jax.lax.scan(step, state, frames)
+
+
+def run_tracking(
+    frames: FrameFeatures,
+    config: SlamConfig,
+    state: Optional[TrackState] = None,
+    gravity=None,
+    initial_height=0.0,
+    seed: int = 42,
+    smooth: bool = True,
+) -> RunResult:
+    """Run the tracking scan over a packed frame stream + RTS smoothing."""
+    if state is None:
+        state = init_state(config, gravity=gravity, initial_height=initial_height)
+    final_state, outs = _scan_sequence(state, frames, config, seed)
+
+    t_raw = np.asarray(outs.t)
+    if smooth:
+        snaps = ekf_ops.EKFSnapshot(
+            x_pred=outs.x_pred,
+            P_pred=outs.P_pred,
+            x_filt=outs.x_filt,
+            P_filt=outs.P_filt,
+            dt=outs.dt,
+            frame_id=jnp.arange(t_raw.shape[0], dtype=jnp.int32),
+        )
+        valid = jnp.asarray(np.ones(t_raw.shape[0], dtype=bool))
+        t_smooth = np.asarray(
+            jax.jit(ekf_ops.rts_smooth)(snaps, valid)
+        )
+    else:
+        t_smooth = t_raw
+
+    return RunResult(
+        timestamps=np.asarray(outs.timestamp, dtype=np.float64),
+        R=np.asarray(outs.R),
+        t=t_raw,
+        t_smoothed=t_smooth,
+        outputs=outs,
+        final_state=final_state,
+    )
+
+
+def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42, smooth=True):
+    """End-to-end on a synthetic sequence: gravity init + stationarity +
+    tracking + smoothing. Returns (RunResult, ate_result)."""
+    from vslam_tpu.eval import ate as ate_mod
+
+    R0 = seq.R[0]
+    gravity, h0 = (None, 0.0)
+    stationary = None
+    if use_imu:
+        gravity, h0 = compute_gravity_direction(seq.accel, np.eye(3, dtype=np.float32))
+        stationary = detect_stationary(seq.accel, seq.timestamps)
+
+    frames = features_from_synthetic(seq, stationary=stationary)
+    result = run_tracking(
+        frames, config, gravity=gravity, initial_height=h0, seed=seed, smooth=smooth
+    )
+
+    # World frame == first camera frame in synthetic sequences, but the
+    # sequence's own poses are already in that frame; ATE aligns anyway.
+    ate_res = ate_mod.compute_ate(
+        result.timestamps, result.t_smoothed, seq.timestamps, seq.t, with_scale=False
+    )
+    return result, ate_res

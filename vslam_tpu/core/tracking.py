@@ -1,0 +1,533 @@
+"""The per-frame tracking step: one jitted pure function.
+
+TPU-native rebuild of `Slam::process_frame` (`/root/reference/src/Slam.cpp:
+809-1135`): descriptor matching -> fundamental gate -> 3D-3D RANSAC (or
+Essential + depth scale) -> EKF fusion -> local-map tracking -> PnP
+refinement -> keyframe creation with triangulation + depth back-projection
+-> visibility/culling. The reference's ~10 data-dependent branch points
+become `lax.cond`/masked updates; all sizes are static (see core.state).
+
+The step is designed to run inside `lax.scan` over a frame chunk, with the
+feature frontend (SuperPoint) batched separately — inference saturates the
+MXU across frames while this cheap sequential state machine scans.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.core.state import (
+    FrameFeatures,
+    KeyframeStore,
+    MapStore,
+    StepOutputs,
+    TrackState,
+)
+from vslam_tpu.ops import camera as cam
+from vslam_tpu.ops import ekf as ekf_ops
+from vslam_tpu.ops import matching
+from vslam_tpu.ops import pnp as pnp_ops
+from vslam_tpu.ops import ransac as rs
+from vslam_tpu.ops import se3
+from vslam_tpu.ops import triangulate as tri
+
+
+def _intr(config):
+    c = config.camera
+    return c.fx, c.fy, c.cx, c.cy
+
+
+def _single_view_scale(R_rel, t_rel, p_kf, xn_cur, valid):
+    """Monocular scale from KF depth (`src/Slam.cpp:162-207`).
+
+    For each match: p_cur = R p_kf + s t̂; the x (and y) image constraints
+    give closed-form per-match scales; robust median over valid entries.
+    """
+    Rp = p_kf @ R_rel.T  # (K, 3)
+    # x constraint: xn·(Rp_z + s t_z) = Rp_x + s t_x
+    num_x = xn_cur[:, 0] * Rp[:, 2] - Rp[:, 0]
+    den_x = t_rel[0] - xn_cur[:, 0] * t_rel[2]
+    num_y = xn_cur[:, 1] * Rp[:, 2] - Rp[:, 1]
+    den_y = t_rel[1] - xn_cur[:, 1] * t_rel[2]
+    sx = num_x / jnp.where(jnp.abs(den_x) < 1e-6, jnp.inf, den_x)
+    sy = num_y / jnp.where(jnp.abs(den_y) < 1e-6, jnp.inf, den_y)
+    s_all = jnp.concatenate([sx, sy])
+    v_all = jnp.concatenate([valid, valid]) & jnp.isfinite(s_all) & (s_all > 0)
+    # masked median: sort with invalid -> +inf, take middle of valid prefix
+    s_sorted = jnp.sort(jnp.where(v_all, s_all, jnp.inf))
+    n = jnp.sum(v_all)
+    med = s_sorted[jnp.clip(n // 2, 0, s_all.shape[0] - 1)]
+    return jnp.where(n >= 3, med, -1.0), n
+
+
+def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, kf_id):
+    """Insert up to K new points into free map slots (static-shape
+    compaction: the reference simply push_backs, `src/Map.cpp:20-30`).
+
+    Returns (map_store, slot_of_new (K,) int32 with -1 for not-inserted).
+    """
+    M = map_store.valid.shape[0]
+    K = new_valid.shape[0]
+    free = ~map_store.valid
+    free_rank = jnp.cumsum(free) - 1  # (M,) rank among free slots
+    n_new = jnp.sum(new_valid)
+
+    # Compact new points to the front (stable: valid first, original order).
+    order = jnp.argsort(jnp.where(new_valid, 0, 1), stable=True)
+    pos_c = new_pos[order]
+    desc_c = new_desc[order]
+
+    take = free & (free_rank < n_new)
+    src = jnp.clip(free_rank, 0, K - 1)
+    pos_new = jnp.where(take[:, None], pos_c[src], map_store.pos)
+    desc_new = jnp.where(take[:, None], desc_c[src], map_store.desc)
+    valid_new = map_store.valid | take
+    visible_new = jnp.where(take, 1, map_store.visible)
+    found_new = jnp.where(take, 1, map_store.found)
+    first_kf_new = jnp.where(take, kf_id, map_store.first_kf)
+    num_obs_new = jnp.where(take, 1, map_store.num_obs)
+
+    # Map each new point (original index) to its slot: slot_of_rank r =
+    # index of free slot with free_rank == r (& take). Build via scatter.
+    slot_of_rank = jnp.full(K, -1, jnp.int32)
+    slot_ids = jnp.arange(M, dtype=jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(take, src, K - 1)].max(
+        jnp.where(take, slot_ids, -1), mode="drop"
+    )
+    # rank of each original new point among valid ones
+    rank_of_orig = jnp.cumsum(new_valid) - 1
+    slot_of_new = jnp.where(
+        new_valid & (rank_of_orig < jnp.sum(take)),
+        slot_of_rank[jnp.clip(rank_of_orig, 0, K - 1)],
+        -1,
+    )
+    return (
+        MapStore(pos_new, desc_new, valid_new, visible_new, found_new, first_kf_new, num_obs_new),
+        slot_of_new,
+    )
+
+
+def _match_to_keyframe(state: TrackState, frame: FrameFeatures, config: SlamConfig, key):
+    """Descriptor match + fundamental RANSAC gate
+    (`src/Slam.cpp:841, 879-910`)."""
+    m = matching.knn2_ratio_match(
+        state.kf_desc,
+        frame.desc,
+        state.kf_valid,
+        frame.valid,
+        ratio=config.frontend.l2_ratio_threshold,
+        mutual=config.frontend.mutual_check,
+    )
+    uv_kf = state.kf_xy
+    uv_cur = frame.xy[m.idx]
+    n_raw = jnp.sum(m.valid)
+    enough = n_raw >= 8
+    F, fres = rs.ransac_fundamental(
+        key,
+        uv_kf,
+        uv_cur,
+        m.valid,
+        num_hypotheses=config.motion.fm_ransac_iters,
+        threshold_px=config.motion.fm_ransac_threshold_px,
+    )
+    gated = jnp.where(enough & fres.ok, m.valid & fres.inlier_mask, m.valid)
+    return m, uv_kf, uv_cur, gated, n_raw
+
+
+def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
+    """3D-3D preferred, Essential+scale fallback (`src/Slam.cpp:953-984`).
+
+    Returns (R_new, t_new, used_3d3d, motion_ok, n_inliers).
+    """
+    fx, fy, cx, cy = _intr(config)
+    mc = config.motion
+
+    depth_kf = state.kf_depth
+    depth_cur = frame.depth[m.idx]
+    d_ok = (
+        (depth_kf > config.camera.depth_min)
+        & (depth_kf < config.camera.depth_max)
+        & (depth_cur > config.camera.depth_min)
+        & (depth_cur < config.camera.depth_max)
+    )
+    valid3d = gated & d_ok
+    p_kf = cam.backproject(uv_kf, depth_kf, fx, fy, cx, cy)
+    p_cur = cam.backproject(uv_cur, depth_cur, fx, fy, cx, cy)
+
+    k1, k2 = jax.random.split(key)
+    R3, t3, res3 = rs.ransac_kabsch_3d3d(
+        k1,
+        p_kf,
+        p_cur,
+        valid3d,
+        num_hypotheses=mc.r3d_iters,
+        inlier_thresh=mc.r3d_inlier_thresh,
+        max_translation=mc.r3d_max_translation,
+        min_translation=mc.r3d_min_translation,
+        min_inliers=config.frontend.min_inliers,
+    )
+    use_3d3d = res3.ok & jnp.asarray(config.rgbd)
+
+    # Essential fallback
+    Re, te, E, rese = rs.ransac_essential(
+        k2,
+        uv_kf,
+        uv_cur,
+        gated,
+        fx,
+        fy,
+        cx,
+        cy,
+        num_hypotheses=mc.em_ransac_iters,
+        threshold_px=mc.em_ransac_threshold_px,
+        min_inliers=config.frontend.min_inliers,
+    )
+    xn_cur = cam.normalize_pixels(uv_cur, fx, fy, cx, cy)
+    kf_d_ok = (depth_kf > config.camera.depth_min) & (depth_kf < config.camera.depth_max)
+    s_med, _ = _single_view_scale(Re, te, p_kf, xn_cur, gated & kf_d_ok & rese.inlier_mask)
+    scale = jnp.where(s_med > 0, s_med, state.last_scale)
+
+    R_rel = jnp.where(use_3d3d, R3, Re)
+    t_rel = jnp.where(use_3d3d, t3, te * scale)
+
+    # Pose composition (`src/Slam.cpp:960-984`): T_w,cur = T_w,kf ∘ inv(T_rel)
+    R_new = state.kf_R @ R_rel.T
+    t_new = state.kf_t - R_new @ t_rel
+
+    motion_ok = use_3d3d | rese.ok
+    n_inl = jnp.where(use_3d3d, res3.num_inliers, rese.num_inliers)
+    new_scale = jnp.where(use_3d3d, state.last_scale, jnp.where(s_med > 0, s_med, state.last_scale))
+    return R_new, t_new, use_3d3d, motion_ok, n_inl, new_scale
+
+
+def _fuse_ekf(state: TrackState, frame, config, t_meas, used_3d3d, motion_ok):
+    """EKF predict + gated visual update + height + clamp
+    (`src/Slam.cpp:986-1047`). Returns (ekf_state, fused_pos, snapshot)."""
+    ec = config.ekf
+    st = state.ekf
+    # Lazy init at current pose
+    st = jax.lax.cond(
+        st.initialized,
+        lambda s: s,
+        lambda s: ekf_ops.initialize(state.t, frame.timestamp),
+        st,
+    )
+    dt = frame.timestamp - state.last_time
+    first = state.frame_idx == 0
+    dt = jnp.where(first, 0.0, dt)
+    st = ekf_ops.predict(st, dt, sigma_a=ec.process_accel, decay=ec.vel_decay)
+    x_pred, P_pred = st.x, st.P
+
+    sigma = jnp.where(used_3d3d, ec.sigma_vis_3d3d, ec.sigma_vis_emat)
+    st = ekf_ops.update_visual_gated(
+        st, t_meas, sigma, gate=ec.innovation_gate, enabled=motion_ok
+    )
+    st = ekf_ops.update_height(
+        st,
+        state.gravity,
+        state.initial_height,
+        ec.sigma_height,
+        enabled=state.has_height,
+    )
+    P_filt = st.P
+    st, fused = ekf_ops.clamp_step(st, state.t, dt, max_step=ec.max_step)
+    snap = (x_pred, P_pred, st.x, P_filt, dt)
+    return st, fused, snap
+
+
+def _track_local_map(state: TrackState, frame, config, R_new, t_new):
+    """Project map points, radius-match descriptors
+    (`src/Slam.cpp:380-469`). Returns (mp_idx per kp, tracked mask, map')."""
+    fx, fy, cx, cy = _intr(config)
+    Rcw = R_new.T
+    tcw = -Rcw @ t_new
+    p_c = state.map.pos @ Rcw.T + tcw
+    uv_mp, front = cam.project(p_c, fx, fy, cx, cy)
+    in_img = front & cam.in_image(uv_mp, config.camera.width, config.camera.height)
+    visible_mask = state.map.valid & in_img
+
+    mp_idx, kp_ok, _ = matching.radius_descriptor_match(
+        frame.desc,
+        frame.xy,
+        frame.valid,
+        state.map.desc,
+        uv_mp,
+        visible_mask,
+        radius_px=config.map.track_search_radius_px,
+        desc_thresh=config.map.track_desc_threshold,
+    )
+    # Update visibility / found counters (`src/Slam.cpp:1089-1108` does this
+    # per-KF; we fold it into per-frame tracking).
+    found_scatter = jnp.zeros_like(state.map.found).at[
+        jnp.where(kp_ok, mp_idx, 0)
+    ].add(jnp.where(kp_ok, 1, 0))
+    map2 = state.map._replace(
+        visible=state.map.visible + visible_mask.astype(jnp.int32),
+        found=state.map.found + found_scatter,
+    )
+    return mp_idx, kp_ok, map2
+
+
+def _refine_pnp(state, frame, config, R_new, t_new, mp_idx, kp_ok, key):
+    """Local PnP refinement with adaptive blending
+    (`src/Slam.cpp:1373-1473`): blend 0.3..0.5 by inlier ratio, jump gate."""
+    fx, fy, cx, cy = _intr(config)
+    pc = config.pnp
+    X = state.map.pos[jnp.clip(mp_idx, 0, state.map.pos.shape[0] - 1)]
+    n_corr = jnp.sum(kp_ok)
+    result = pnp_ops.ransac_pnp(
+        key,
+        X,
+        frame.xy,
+        kp_ok,
+        fx,
+        fy,
+        cx,
+        cy,
+        num_hypotheses=pc.ransac_iters,
+        threshold_px=pc.ransac_threshold_px,
+        min_inliers=pc.min_points,
+        gn_iters=pc.gn_iters,
+    )
+    inlier_ratio = result.num_inliers / jnp.maximum(n_corr, 1)
+    blend = 0.3 + 0.2 * jnp.clip(inlier_ratio, 0.0, 1.0)
+    jump = jnp.linalg.norm(result.t - t_new)
+    apply = result.ok & (n_corr >= pc.min_points) & (jump < pc.refine_max_jump)
+
+    t_ref = t_new + blend * (result.t - t_new)
+    # Rotation blend via geodesic interpolation
+    dR = result.R @ R_new.T
+    w = se3.log_so3(dR)
+    R_ref = se3.exp_so3(w * blend) @ R_new
+
+    R_out = jnp.where(apply, R_ref, R_new)
+    t_out = jnp.where(apply, t_ref, t_new)
+    return R_out, t_out, jnp.where(apply, result.num_inliers, 0)
+
+
+def _make_keyframe(state: TrackState, frame, config, R_new, t_new, m, gated):
+    """Keyframe creation (`src/Slam.cpp:699-725, 1246-1356, 1526-1577`):
+    triangulate gated matches (with Kinect-depth override), back-project
+    unmatched keypoints with depth, insert as map points, push to ring."""
+    fx, fy, cx, cy = _intr(config)
+    mc = config.map
+    K = frame.xy.shape[0]
+
+    # --- Triangulation between active KF and this frame ---
+    uv_kf = state.kf_xy
+    uv_cur = frame.xy[m.idx]
+    X_tri, tri_ok = tri.triangulate_two_view(
+        state.kf_R, state.kf_t, R_new, t_new, uv_kf, uv_cur, fx, fy, cx, cy,
+        min_depth=mc.triang_min_depth, max_depth=mc.triang_max_depth,
+        max_reproj_px=mc.triang_max_reproj_px, max_cam_dist=mc.triang_max_cam_dist,
+    )
+    tri_ok = tri_ok & gated
+    # Kinect-depth override (`src/Slam.cpp:1293-1310`): if current frame has
+    # valid depth at the matched keypoint, use back-projected depth instead.
+    d_cur = frame.depth[m.idx]
+    d_ok = (d_cur > config.camera.depth_min) & (d_cur < config.camera.depth_max)
+    X_bp = se3.transform_points(
+        R_new, t_new, cam.backproject(uv_cur, d_cur, fx, fy, cx, cy)
+    )
+    X_new = jnp.where((d_ok & gated)[:, None], X_bp, X_tri)
+    pt_ok = jnp.where(d_ok & gated, True, tri_ok)
+    # Use the current frame's descriptor for the new point.
+    desc_new = frame.desc[m.idx]
+
+    # Keypoint indices (in current frame) covered by matched points
+    # (out-of-bounds index + drop mode scatters only the gated entries).
+    matched_kp = (
+        jnp.zeros(K, dtype=bool)
+        .at[jnp.where(gated, m.idx, K)]
+        .set(True, mode="drop")
+    )
+
+    # --- Depth back-projection at unmatched keypoints (`:1526-1577`) ---
+    d_all = frame.depth
+    bp_ok = (
+        frame.valid
+        & ~matched_kp
+        & (d_all > config.camera.depth_min)
+        & (d_all < config.camera.depth_max)
+    )
+    X_bp2 = se3.transform_points(
+        R_new, t_new, cam.backproject(frame.xy, d_all, fx, fy, cx, cy)
+    )
+
+    # Insert both sets (2K candidates max).
+    all_pos = jnp.concatenate([X_new, X_bp2], axis=0)
+    all_desc = jnp.concatenate([desc_new, frame.desc], axis=0)
+    all_ok = jnp.concatenate([pt_ok, bp_ok], axis=0)
+    map2, _ = _masked_free_slot_insert(state.map, all_pos, all_desc, all_ok, state.kf_count)
+
+    # --- Push to keyframe ring ---
+    slot = jnp.mod(state.kf_count, state.keyframes.valid.shape[0])
+    kfs = state.keyframes
+    kfs = KeyframeStore(
+        xy=kfs.xy.at[slot].set(frame.xy),
+        desc=kfs.desc.at[slot].set(frame.desc),
+        depth=kfs.depth.at[slot].set(frame.depth),
+        kp_valid=kfs.kp_valid.at[slot].set(frame.valid),
+        R=kfs.R.at[slot].set(R_new),
+        t=kfs.t.at[slot].set(t_new),
+        frame_id=kfs.frame_id.at[slot].set(frame.frame_id),
+        valid=kfs.valid.at[slot].set(True),
+    )
+
+    # --- Map point culling every 3rd KF (`src/Slam.cpp:1111-1126`) ---
+    do_cull = jnp.mod(state.kf_count + 1, mc.cull_interval_kfs) == 0
+    age = state.kf_count - map2.first_kf
+    ratio = map2.found / jnp.maximum(map2.visible, 1)
+    young = age < 3
+    cull = (
+        map2.valid
+        & ((young & (ratio < mc.cull_found_ratio_young))
+           | (~young & (ratio < mc.cull_found_ratio_old) & (map2.num_obs <= 2)))
+        & (map2.visible >= 5)
+    )
+    map3 = map2._replace(valid=jnp.where(do_cull, map2.valid & ~cull, map2.valid))
+
+    return state._replace(
+        map=map3,
+        keyframes=kfs,
+        kf_xy=frame.xy,
+        kf_desc=frame.desc,
+        kf_depth=frame.depth,
+        kf_valid=frame.valid,
+        kf_R=R_new,
+        kf_t=t_new,
+        kf_frame_id=frame.frame_id,
+        kf_count=state.kf_count + 1,
+    )
+
+
+def tracking_step(
+    state: TrackState, frame: FrameFeatures, config: SlamConfig, key
+) -> Tuple[TrackState, StepOutputs]:
+    """One frame through the full tracking state machine."""
+    k_match, k_motion, k_pnp = jax.random.split(key, 3)
+
+    def bootstrap(st: TrackState):
+        """First frame: become the first keyframe at the initial pose
+        (`src/Slam.cpp:826-839`)."""
+        m_dummy = matching.MatchResult(
+            jnp.arange(frame.xy.shape[0], dtype=jnp.int32),
+            jnp.zeros(frame.xy.shape[0], dtype=bool),
+            jnp.zeros(frame.xy.shape[0]),
+        )
+        st2 = _make_keyframe(
+            st, frame, config, st.R, st.t, m_dummy,
+            jnp.zeros(frame.xy.shape[0], dtype=bool),
+        )
+        ekf0 = ekf_ops.initialize(st.t, frame.timestamp)
+        eye6 = jnp.eye(6, dtype=st.t.dtype)
+        out = StepOutputs(
+            R=st.R, t=st.t, timestamp=frame.timestamp,
+            x_pred=ekf0.x, P_pred=eye6, x_filt=ekf0.x, P_filt=ekf0.P,
+            dt=jnp.asarray(0.0, st.t.dtype),
+            num_matches=jnp.asarray(0, jnp.int32),
+            num_inliers=jnp.asarray(0, jnp.int32),
+            num_tracked=jnp.asarray(0, jnp.int32),
+            is_keyframe=jnp.asarray(True),
+            used_3d3d=jnp.asarray(False),
+            tracking_ok=jnp.asarray(True),
+        )
+        return (
+            st2._replace(
+                ekf=ekf0,
+                frame_idx=st.frame_idx + 1,
+                last_time=frame.timestamp,
+            ),
+            out,
+        )
+
+    def track(st: TrackState):
+        m, uv_kf, uv_cur, gated, n_raw = _match_to_keyframe(st, frame, config, k_match)
+        n_matches = jnp.sum(gated)
+
+        R_mot, t_mot, used_3d3d, motion_ok, n_inl, new_scale = _estimate_motion(
+            st, frame, config, m, uv_kf, uv_cur, gated, k_motion
+        )
+        enough = n_matches >= config.frontend.min_matches
+        motion_ok = motion_ok & enough
+
+        # Stationary frames: freeze position, keep rotation update
+        # (`src/Slam.cpp:618-694`).
+        R_new = jnp.where(motion_ok, R_mot, st.R)
+        t_meas = jnp.where(motion_ok & ~frame.stationary, t_mot, st.t)
+
+        ekf_st, t_fused, snap = _fuse_ekf(
+            st, frame, config, t_meas, used_3d3d, motion_ok & ~frame.stationary
+        )
+        R_new = se3.orthonormalize(R_new)
+        t_new = jnp.where(frame.stationary, st.t, t_fused)
+
+        # Local-map tracking + PnP refinement
+        mp_idx, kp_ok, map2 = _track_local_map(st, frame, config, R_new, t_new)
+        st = st._replace(map=map2)
+        n_tracked = jnp.sum(kp_ok)
+        R_ref, t_ref, n_pnp = _refine_pnp(
+            st, frame, config, R_new, t_new, mp_idx, kp_ok, k_pnp
+        )
+        R_fin = R_ref
+        t_fin = jnp.where(frame.stationary, st.t, t_ref)
+        # keep EKF position consistent with final pose
+        ekf_st = ekf_st._replace(x=ekf_st.x.at[:3].set(t_fin))
+
+        # Keyframe policy (`src/Slam.cpp:1062-1070, 1359-1368`)
+        gap = frame.frame_id - st.kf_frame_id
+        is_kf = (
+            ((gap >= config.map.kf_min_frame_gap) & (n_matches >= config.map.kf_min_matches))
+            | ((gap >= config.map.kf_proactive_min_gap)
+               & (n_matches < config.map.kf_proactive_max_matches))
+        ) & motion_ok & ~frame.stationary
+
+        st_kf = jax.lax.cond(
+            is_kf,
+            lambda s: _make_keyframe(s, frame, config, R_fin, t_fin, m, gated),
+            lambda s: s,
+            st,
+        )
+
+        st_out = st_kf._replace(
+            R=R_fin,
+            t=t_fin,
+            ekf=ekf_st,
+            frame_idx=st.frame_idx + 1,
+            last_time=frame.timestamp,
+            last_scale=new_scale,
+            tracking_ok=motion_ok,
+        )
+        out = StepOutputs(
+            R=R_fin, t=t_fin, timestamp=frame.timestamp,
+            x_pred=snap[0], P_pred=snap[1], x_filt=snap[2], P_filt=snap[3],
+            dt=snap[4],
+            num_matches=n_matches.astype(jnp.int32),
+            num_inliers=n_inl.astype(jnp.int32),
+            num_tracked=n_tracked.astype(jnp.int32),
+            is_keyframe=is_kf,
+            used_3d3d=used_3d3d,
+            tracking_ok=motion_ok,
+        )
+        return st_out, out
+
+    return jax.lax.cond(state.kf_frame_id < 0, bootstrap, track, state)
+
+
+def make_scan_step(config: SlamConfig, seed: int = 42):
+    """Build a `lax.scan`-compatible step closure.
+
+    RNG determinism mirrors the reference's per-frame `mt19937(42 +
+    frame_count_)` (`src/Slam.cpp:276`): key = fold_in(seed, frame_idx).
+    """
+
+    def scan_fn(state: TrackState, frame: FrameFeatures):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), frame.frame_id)
+        return tracking_step(state, frame, config, key)
+
+    return scan_fn

@@ -1,0 +1,276 @@
+"""Synthetic SLAM sequences with exact ground truth.
+
+The reference's quality assurance is an end-to-end ATE metric on TUM data
+plus a deterministic feature-replay cache (SURVEY.md §4). This image has
+no dataset and no egress, so the equivalent harness is synthetic: a
+landmark world with persistent descriptors, a smooth planar trajectory
+(wheeled-robot-like, matching the reference's height-prior assumption),
+feature-level observations (the analogue of replaying
+`models/sp_cache.bin`, `/root/reference/src/FeatureExtractor.cpp:262-381`),
+analytic depth-map rendering for dense-fusion paths, and accelerometer
+samples with gravity. ATE against the known trajectory is then an exact
+oracle for the full pipeline.
+
+Conventions: camera x right, y down, z forward; world = first camera
+frame; gravity points along +y (down). Poses are camera-to-world.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class SyntheticWorld:
+    landmarks: np.ndarray  # (P, 3) world points
+    descriptors: np.ndarray  # (P, D) unit descriptors
+    priority: np.ndarray  # (P,) persistent selection priority
+
+
+@dataclass
+class SyntheticSequence:
+    timestamps: np.ndarray  # (N,)
+    R: np.ndarray  # (N, 3, 3) camera-to-world
+    t: np.ndarray  # (N, 3)
+    kp_xy: np.ndarray  # (N, K, 2) observed pixels
+    kp_desc: np.ndarray  # (N, K, D)
+    kp_depth: np.ndarray  # (N, K) sensor depth at keypoint (0 = invalid)
+    kp_valid: np.ndarray  # (N, K) bool
+    kp_landmark: np.ndarray  # (N, K) int32 true landmark id (-1 invalid)
+    accel: np.ndarray  # (M, 4): t, ax, ay, az (camera frame)
+    world: SyntheticWorld
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+
+def make_world(rng, num_landmarks=4000, desc_dim=256, extent=(12.0, 2.5, 12.0)):
+    """Landmarks in a box around the trajectory; floor-ish band included."""
+    P = num_landmarks
+    pts = np.stack(
+        [
+            rng.uniform(-extent[0], extent[0], P),
+            rng.uniform(-extent[1], extent[1], P),
+            rng.uniform(-extent[2], extent[2], P),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    desc = rng.normal(size=(P, desc_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    return SyntheticWorld(pts, desc, rng.random(P).astype(np.float32))
+
+
+def make_trajectory(num_frames, dt=0.1, radius=4.0, angular_rate=0.08, height=0.0):
+    """Planar arc (constant height): a wheeled-robot-like path.
+
+    Camera faces the direction of travel. Returns (ts, R, t) with
+    camera-to-world poses; world frame equals the first camera frame
+    up to a translation.
+    """
+    ts = np.arange(num_frames) * dt
+    theta = angular_rate * ts
+    # Position on a circle in the (x, z) plane at fixed y (height).
+    px = radius * np.sin(theta)
+    pz = radius * (1.0 - np.cos(theta))
+    pos = np.stack([px, np.full_like(px, height), pz], axis=-1).astype(np.float32)
+    # Heading: derivative direction -> camera z axis (forward).
+    fwd = np.stack([np.cos(theta), np.zeros_like(theta), np.sin(theta)], -1)
+    up_world = np.array([0.0, 1.0, 0.0])  # +y is down in camera terms
+    right = np.cross(up_world, fwd)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=-1).astype(np.float32)  # columns
+    return ts.astype(np.float64), R, pos
+
+
+def observe(
+    world: SyntheticWorld,
+    R,
+    t,
+    fx,
+    fy,
+    cx,
+    cy,
+    width,
+    height,
+    max_keypoints=400,
+    rng: Optional[np.random.Generator] = None,
+    pixel_noise=0.3,
+    desc_noise=0.02,
+    depth_noise=0.005,
+    depth_range=(0.3, 10.0),
+    dropout=0.05,
+):
+    """Project landmarks into one camera; keep up to K by persistent
+    priority (stable across frames, so covisible landmarks match)."""
+    rng = rng or np.random.default_rng(0)
+    Rcw = R.T
+    tcw = -Rcw @ t
+    pc = world.landmarks @ Rcw.T + tcw
+    z = pc[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = fx * pc[:, 0] / z + cx
+        v = fy * pc[:, 1] / z + cy
+    vis = (
+        (z > depth_range[0])
+        & (z < depth_range[1])
+        & (u >= 1)
+        & (u < width - 1)
+        & (v >= 1)
+        & (v < height - 1)
+    )
+    vis &= rng.random(len(z)) > dropout
+    ids = np.nonzero(vis)[0]
+    order = np.argsort(world.priority[ids])[:max_keypoints]
+    ids = ids[order]
+    K = max_keypoints
+    kp_xy = np.zeros((K, 2), np.float32)
+    kp_desc = np.zeros((K, world.descriptors.shape[1]), np.float32)
+    kp_depth = np.zeros(K, np.float32)
+    kp_valid = np.zeros(K, bool)
+    kp_lm = np.full(K, -1, np.int32)
+    n = len(ids)
+    kp_xy[:n, 0] = u[ids] + rng.normal(0, pixel_noise, n)
+    kp_xy[:n, 1] = v[ids] + rng.normal(0, pixel_noise, n)
+    d = world.descriptors[ids] + rng.normal(0, desc_noise, (n, world.descriptors.shape[1]))
+    kp_desc[:n] = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    kp_depth[:n] = z[ids] * (1.0 + rng.normal(0, depth_noise, n))
+    kp_valid[:n] = True
+    kp_lm[:n] = ids
+    return kp_xy, kp_desc, kp_depth, kp_valid, kp_lm
+
+
+def make_sequence(
+    num_frames=60,
+    max_keypoints=400,
+    desc_dim=256,
+    fx=525.0,
+    fy=525.0,
+    cx=319.5,
+    cy=239.5,
+    width=640,
+    height=480,
+    seed=0,
+    dt=0.1,
+    pixel_noise=0.3,
+    desc_noise=0.02,
+    depth_noise=0.005,
+    num_landmarks=4000,
+    rgbd=True,
+) -> SyntheticSequence:
+    rng = np.random.default_rng(seed)
+    world = make_world(rng, num_landmarks=num_landmarks, desc_dim=desc_dim)
+    ts, R, t = make_trajectory(num_frames, dt=dt)
+
+    obs = [
+        observe(
+            world, R[i], t[i], fx, fy, cx, cy, width, height,
+            max_keypoints=max_keypoints, rng=rng,
+            pixel_noise=pixel_noise, desc_noise=desc_noise,
+            depth_noise=depth_noise,
+        )
+        for i in range(num_frames)
+    ]
+    kp_xy = np.stack([o[0] for o in obs])
+    kp_desc = np.stack([o[1] for o in obs])
+    kp_depth = np.stack([o[2] for o in obs])
+    kp_valid = np.stack([o[3] for o in obs])
+    kp_lm = np.stack([o[4] for o in obs])
+    if not rgbd:
+        kp_depth = np.zeros_like(kp_depth)
+
+    # Accelerometer at 10x frame rate: gravity in camera frame + vibration.
+    # A moving wheeled robot vibrates: noise std scales with speed so the
+    # reference's stationarity detector (accel std < 0.15,
+    # `src/Slam.cpp:1621-1651`) fires only when actually stopped.
+    g_world = np.array([0.0, 9.81, 0.0])
+    vel = np.gradient(t, axis=0) / dt
+    speed = np.linalg.norm(vel, axis=-1)
+    arate = 10
+    acc_rows = []
+    for i in range(num_frames):
+        sigma = 0.03 + 1.2 * speed[i]
+        for j in range(arate):
+            tau = ts[i] + (j / arate) * dt
+            a_cam = R[min(i, num_frames - 1)].T @ g_world + rng.normal(0, sigma, 3)
+            acc_rows.append([tau, *a_cam])
+    accel = np.asarray(acc_rows)
+
+    return SyntheticSequence(
+        timestamps=ts, R=R, t=t,
+        kp_xy=kp_xy, kp_desc=kp_desc, kp_depth=kp_depth,
+        kp_valid=kp_valid, kp_landmark=kp_lm,
+        accel=accel, world=world,
+        fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic depth/image rendering (for dense-fusion and image-level paths)
+# ---------------------------------------------------------------------------
+
+
+def render_depth_room(R, t, fx, fy, cx, cy, width, height, floor_y=1.5, wall_dist=8.0):
+    """Ray-cast a simple axis-aligned room (floor plane + 4 walls) ->
+    (H, W) float32 depth in meters. Vectorized NumPy (host-side data gen)."""
+    vs, us = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    rays_cam = np.stack(
+        [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, dtype=np.float64)], axis=-1
+    )
+    rays_w = rays_cam @ R.T  # direction in world
+    o = t  # origin
+
+    depth = np.full((height, width), np.inf)
+
+    def plane_hit(n, d):
+        """Plane n.x = d; returns ray parameter s (camera-frame z)."""
+        denom = rays_w @ n
+        s = (d - o @ n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        return np.where((denom != 0) & (s > 0.1), s, np.inf)
+
+    for n, d in [
+        (np.array([0.0, 1.0, 0.0]), floor_y),  # floor (y down => y = +floor)
+        (np.array([1.0, 0.0, 0.0]), wall_dist),
+        (np.array([-1.0, 0.0, 0.0]), wall_dist),
+        (np.array([0.0, 0.0, 1.0]), wall_dist),
+        (np.array([0.0, 0.0, -1.0]), wall_dist),
+    ]:
+        depth = np.minimum(depth, plane_hit(n, d))
+
+    # convert ray parameter to camera z-depth: s * z-component of ray_cam
+    zfac = rays_cam[..., 2]
+    z = depth * zfac
+    z[~np.isfinite(z)] = 0.0
+    return z.astype(np.float32)
+
+
+def render_gray(world, R, t, fx, fy, cx, cy, width, height, spot_sigma=1.5):
+    """Rasterize landmarks as Gaussian spots on a gradient background ->
+    (H, W) float32 grayscale in [0, 1]. Image-level test input."""
+    img = np.tile(np.linspace(0.2, 0.35, width, dtype=np.float32), (height, 1))
+    Rcw = R.T
+    pc = world.landmarks @ Rcw.T + (-Rcw @ t)
+    z = pc[:, 2]
+    vis = z > 0.3
+    u = fx * pc[vis, 0] / z[vis] + cx
+    v = fy * pc[vis, 1] / z[vis] + cy
+    inb = (u >= 2) & (u < width - 2) & (v >= 2) & (v < height - 2)
+    u, v = u[inb], v[inb]
+    amp = 0.65
+    rad = int(3 * spot_sigma)
+    for ui, vi in zip(u, v):
+        x0, y0 = int(ui), int(vi)
+        xs = np.arange(x0 - rad, x0 + rad + 1)
+        ys = np.arange(y0 - rad, y0 + rad + 1)
+        xs = xs[(xs >= 0) & (xs < width)]
+        ys = ys[(ys >= 0) & (ys < height)]
+        gx = np.exp(-((xs - ui) ** 2) / (2 * spot_sigma**2))
+        gy = np.exp(-((ys - vi) ** 2) / (2 * spot_sigma**2))
+        img[np.ix_(ys, xs)] += amp * gy[:, None] * gx[None, :]
+    return np.clip(img, 0.0, 1.0)

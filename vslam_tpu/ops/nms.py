@@ -1,0 +1,131 @@
+"""SuperPoint decode: channel softmax, depth-to-space, NMS, top-k,
+bilinear descriptor sampling — batched XLA kernels.
+
+Rebuilds the reference's host-side post-processing loops
+(`/root/reference/src/FeatureExtractor.cpp:128-151` softmax+scatter,
+`:219-259` greedy NMS, `:172-206` bilinear descriptor sampling) as fused
+device code operating on whole frame batches.
+
+NMS semantics: the reference runs greedy score-sorted suppression. The
+TPU-native equivalent is local-maximum NMS (a point survives iff it is
+the maximum of its (2r+1)^2 window), computed with a max-pool — a strict
+subset of greedy's keeps, standard in SuperPoint reimplementations, and
+order-insensitive (deterministic on device). Keypoint budget is enforced
+with one `lax.top_k` instead of a sorted insertion loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+CELL = 8
+
+
+def decode_heatmap(semi):
+    """(B, Hc, Wc, 65) logits -> (B, H, W) keypoint probability heatmap.
+
+    65-way softmax per cell, drop the dustbin channel, depth-to-space 8x8
+    (`FeatureExtractor.cpp:128-151`).
+    """
+    prob = jax.nn.softmax(semi, axis=-1)[..., :64]  # (B, Hc, Wc, 64)
+    B, Hc, Wc, _ = prob.shape
+    prob = prob.reshape(B, Hc, Wc, CELL, CELL)
+    prob = prob.transpose(0, 1, 3, 2, 4)  # (B, Hc, 8, Wc, 8)
+    return prob.reshape(B, Hc * CELL, Wc * CELL)
+
+
+def nms_local_max(heatmap, radius=4, conf_threshold=0.005):
+    """Window-maximum NMS: (B, H, W) -> same-shape score map with
+    non-maxima zeroed. Ties broken toward the first (row-major) pixel via
+    a tiny index-based tiebreak so exactly one survivor per plateau."""
+    B, H, W = heatmap.shape
+    # Deterministic strict tie-break: subtract a tiny monotonic ramp.
+    ramp = (
+        jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ) * 1e-12
+    score = heatmap - ramp[None]
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        score,
+        -jnp.inf,
+        jax.lax.max,
+        (1, k, k),
+        (1, 1, 1),
+        "SAME",
+    )
+    keep = (score >= pooled) & (heatmap > conf_threshold)
+    return jnp.where(keep, heatmap, 0.0)
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray  # (B, K, 2) float32 pixel coords (x=col, y=row)
+    score: jnp.ndarray  # (B, K)
+    valid: jnp.ndarray  # (B, K) bool
+
+
+def topk_keypoints(nms_map, max_keypoints=400):
+    """Select the top-K surviving scores (`FeatureExtractor.cpp:238-258`
+    sorts + truncates to SP_MAX_KEYPOINTS)."""
+    B, H, W = nms_map.shape
+    flat = nms_map.reshape(B, H * W)
+    scores, idx = jax.lax.top_k(flat, max_keypoints)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    xy = jnp.stack([xs, ys], axis=-1)
+    valid = scores > 0.0
+    return Keypoints(xy, scores, valid)
+
+
+def sample_descriptors(desc_coarse, kp_xy, valid=None):
+    """Bilinear descriptor sampling at kp/8 + L2 normalization
+    (`FeatureExtractor.cpp:172-206`).
+
+    Args:
+      desc_coarse: (B, Hc, Wc, D) raw coarse descriptors.
+      kp_xy: (B, K, 2) full-resolution pixel coords.
+
+    Returns (B, K, D) unit descriptors; invalid rows zeroed.
+    """
+    B, Hc, Wc, D = desc_coarse.shape
+
+    # Coarse-grid coordinates (reference samples at kp/8: cell-corner
+    # convention, FeatureExtractor.cpp:177-181).
+    u = jnp.clip(kp_xy[..., 0] / CELL, 0.0, Wc - 1.0)
+    v = jnp.clip(kp_xy[..., 1] / CELL, 0.0, Hc - 1.0)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, Wc - 1)
+    v1 = jnp.minimum(v0 + 1, Hc - 1)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+
+    def gather(vi, ui):
+        return jnp.take_along_axis(
+            desc_coarse.reshape(B, Hc * Wc, D),
+            (vi * Wc + ui)[..., None],
+            axis=1,
+        )
+
+    d = (
+        gather(v0, u0) * (1 - fu) * (1 - fv)
+        + gather(v0, u1) * fu * (1 - fv)
+        + gather(v1, u0) * (1 - fu) * fv
+        + gather(v1, u1) * fu * fv
+    )
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    if valid is not None:
+        d = jnp.where(valid[..., None], d, 0.0)
+    return d
+
+
+def extract_keypoints(semi, desc_coarse, max_keypoints=400, radius=4, conf=0.005):
+    """Full decode: logits -> (Keypoints, descriptors). Batched over frames."""
+    heat = decode_heatmap(semi)
+    kept = nms_local_max(heat, radius=radius, conf_threshold=conf)
+    kps = topk_keypoints(kept, max_keypoints)
+    desc = sample_descriptors(desc_coarse, kps.xy, kps.valid)
+    return kps, desc

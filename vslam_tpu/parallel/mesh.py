@@ -1,0 +1,81 @@
+"""Multi-chip execution: batched multi-sequence data parallelism over a
+`jax.sharding.Mesh`.
+
+The reference's only concurrency is a 3-thread shared-memory pipeline
+(SURVEY.md §2 C35); it has no multi-device story. The TPU-native scaling
+axis (per `BASELINE.json` "batched multi-sequence") is data parallelism
+over independent sequences: each device tracks its own sequence(s), the
+tracking scan vmaps over the batch, and the SuperPoint frontend shards its
+frame batch the same way. Collectives are only needed for metric
+aggregation (`psum` on diagnostics) — laid out so they ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.core.state import FrameFeatures, TrackState, init_state
+from vslam_tpu.core.tracking import make_scan_step
+
+
+def make_mesh(n_devices=None, axis="seq"):
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def replicate_state(config: SlamConfig, batch: int) -> TrackState:
+    """A batch of independent per-sequence tracking states."""
+    single = init_state(config)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), single)
+
+
+def shard_batched(tree, mesh: Mesh, axis="seq"):
+    """Place a batched pytree with the leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return jax.tree.map(put, tree)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "seed"))
+def batched_tracking_scan(states: TrackState, frames: FrameFeatures, config: SlamConfig, seed: int = 42):
+    """vmap(scan(step)) over a sequence batch.
+
+    `frames` arrays have shape (B, N, ...); states (B, ...). With inputs
+    sharded over the mesh 'seq' axis, XLA partitions the whole scan per
+    device with zero cross-device traffic in the hot loop.
+    """
+    step = make_scan_step(config, seed=seed)
+
+    def one_seq(state, seq_frames):
+        return jax.lax.scan(step, state, seq_frames)
+
+    return jax.vmap(one_seq)(states, frames)
+
+
+def batched_diagnostics(outputs, mesh: Mesh, axis="seq"):
+    """Cross-sequence metric aggregation — the lone collective."""
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    def agg(outs):
+        return {
+            "mean_matches": jnp.mean(outs.num_matches.astype(jnp.float32)),
+            "mean_inliers": jnp.mean(outs.num_inliers.astype(jnp.float32)),
+            "keyframes": jnp.sum(outs.is_keyframe.astype(jnp.int32)),
+            "tracked_frac": jnp.mean(outs.tracking_ok.astype(jnp.float32)),
+        }
+
+    return agg(outputs)
