@@ -1,0 +1,96 @@
+"""Bundle adjustment: recovers poses + points from noisy initialization."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from vslam_tpu.ops import ba
+
+FX = FY = 300.0
+CX, CY = 159.5, 119.5
+
+
+def make_ba_problem(rng, W=5, P=120, pix_noise=0.3, pose_noise=0.03, point_noise=0.05):
+    # Ground-truth poses along an arc
+    R_gt, t_gt = [], []
+    for i in range(W):
+        R_gt.append(Rotation.from_euler("y", 0.1 * i).as_matrix())
+        t_gt.append(np.array([0.3 * i, 0.0, 0.1 * i]))
+    R_gt = np.stack(R_gt).astype(np.float32)
+    t_gt = np.stack(t_gt).astype(np.float32)
+
+    X_gt = np.stack(
+        [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(3, 8, P)], -1
+    ).astype(np.float32)
+
+    # Observations
+    uv = np.zeros((W, P, 2), np.float32)
+    mask = np.zeros((W, P), bool)
+    for w in range(W):
+        pc = (X_gt - t_gt[w]) @ R_gt[w]  # world -> cam (R is cam-to-world)
+        z = pc[:, 2]
+        u = FX * pc[:, 0] / z + CX
+        v = FY * pc[:, 1] / z + CY
+        ok = (z > 0.5) & (u > 0) & (u < 320) & (v > 0) & (v < 240)
+        uv[w, :, 0] = u + rng.normal(0, pix_noise, P)
+        uv[w, :, 1] = v + rng.normal(0, pix_noise, P)
+        mask[w] = ok
+
+    # Noisy initialization (first pose exact: gauge)
+    R0 = R_gt.copy()
+    t0 = t_gt.copy()
+    for w in range(1, W):
+        dR = Rotation.from_rotvec(rng.normal(0, pose_noise, 3)).as_matrix()
+        R0[w] = dR @ R_gt[w]
+        t0[w] = t_gt[w] + rng.normal(0, pose_noise, 3)
+    X0 = X_gt + rng.normal(0, point_noise, (P, 3)).astype(np.float32)
+
+    prob = ba.BAProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0),
+        pose_valid=jnp.ones(W, dtype=bool),
+        X=jnp.asarray(X0), point_valid=jnp.ones(P, dtype=bool),
+        uv=jnp.asarray(uv), obs_valid=jnp.asarray(mask),
+        fx=jnp.asarray(FX), fy=jnp.asarray(FY),
+        cx=jnp.asarray(CX), cy=jnp.asarray(CY),
+    )
+    return prob, R_gt, t_gt, X_gt
+
+
+def test_ba_reduces_cost_and_error(rng):
+    prob, R_gt, t_gt, X_gt = make_ba_problem(rng)
+    R, t, X, cost = ba.bundle_adjust(prob, iterations=12)
+    t_err0 = np.linalg.norm(np.asarray(prob.t) - t_gt, axis=-1).mean()
+    t_err1 = np.linalg.norm(np.asarray(t) - t_gt, axis=-1).mean()
+    assert t_err1 < t_err0 * 0.5, (t_err0, t_err1)
+    # Point improvement is observability-limited (narrow baselines, depth
+    # direction weakly constrained): require strict improvement, not a
+    # fixed factor.
+    X_err0 = np.linalg.norm(np.asarray(prob.X) - X_gt, axis=-1).mean()
+    X_err1 = np.linalg.norm(np.asarray(X) - X_gt, axis=-1).mean()
+    assert X_err1 < X_err0 * 0.95, (X_err0, X_err1)
+    # Gauge: first pose untouched
+    np.testing.assert_allclose(np.asarray(t)[0], t_gt[0], atol=1e-5)
+
+
+def test_ba_huber_resists_outliers(rng):
+    prob, R_gt, t_gt, X_gt = make_ba_problem(rng, pix_noise=0.2)
+    # Corrupt 10% of observations massively
+    uv = np.asarray(prob.uv).copy()
+    m = np.asarray(prob.obs_valid)
+    corrupt = (rng.random(m.shape) < 0.1) & m
+    uv[corrupt] += rng.uniform(30, 80, (corrupt.sum(), 2)).astype(np.float32)
+    prob2 = prob._replace(uv=jnp.asarray(uv))
+    R, t, X, cost = ba.bundle_adjust_robust(prob2, iterations=12)
+    t_err = np.linalg.norm(np.asarray(t) - t_gt, axis=-1).mean()
+    assert t_err < 0.02, t_err
+
+
+def test_ba_masked_invalid_points(rng):
+    prob, R_gt, t_gt, X_gt = make_ba_problem(rng)
+    pv = np.ones(prob.X.shape[0], bool)
+    pv[::3] = False
+    prob2 = prob._replace(point_valid=jnp.asarray(pv))
+    R, t, X, cost = ba.bundle_adjust(prob2, iterations=8)
+    # invalid points unchanged
+    np.testing.assert_array_equal(np.asarray(X)[~pv], np.asarray(prob.X)[~pv])
+    assert np.isfinite(float(cost))

@@ -45,12 +45,13 @@ def exp_so3(w):
     Taylor-safe at theta -> 0 (matches cv::Rodrigues semantics).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-10
+    # Double-where: sqrt sees only safe values so its grad stays finite.
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     W = hat(w)
     W2 = W @ W
     # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near zero
-    small = theta < 1e-5
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(
         small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
     )
@@ -61,22 +62,29 @@ def exp_so3(w):
 def log_so3(R):
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
 
-    Numerically-guarded for theta near 0 and near pi.
+    Gradient-safe formulation (used under `jax.jacrev` by the PGO/BA
+    solvers, where residuals sit at theta ~ 0): theta from atan2 instead
+    of arccos, and every `where` branch evaluates finite on both sides
+    (double-where guards) so reverse-mode AD never sees inf * 0.
     """
+    a = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # sin(theta) * axis
+    s2 = jnp.sum(a * a, axis=-1)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # Generic branch: theta / (2 sin theta) * vee(R - R^T)
-    sin_t = jnp.sin(theta)
-    w_generic = vee(R - jnp.swapaxes(R, -1, -2)) * (
-        theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, 2.0 * sin_t)
-    )[..., None]
-    # Small-angle: vee(R - R^T) / 2
-    w_small = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
+    s_safe = jnp.sqrt(jnp.where(s2 < _EPS, 1.0, s2))
+    sin_t = jnp.where(s2 < _EPS, jnp.sqrt(jnp.maximum(s2, 0.0) + 1e-20), s_safe)
+    theta = jnp.arctan2(sin_t, cos_t)
+    # sin(theta) is also tiny near theta = pi: only treat as "small angle"
+    # when cos(theta) > 0.
+    small = (s2 < _EPS) & (cos_t > 0.0)
+    # theta/sin(theta): series 1 + theta^2/6 for small (theta ~ sin there)
+    factor = jnp.where(small, 1.0 + s2 / 6.0, theta / s_safe)
+    w_generic = a * factor[..., None]
+    w_small = a
     # Near pi: use diagonal of (R + I)/2 = w w^T / theta^2 trick
     B = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    axis = jnp.sqrt(jnp.maximum(diag, 0.0))
+    axis = jnp.sqrt(jnp.maximum(diag, 1e-12))  # floored: finite grad at 0
     # Fix signs from off-diagonals relative to the largest-axis component
     k = jnp.argmax(axis, axis=-1)
 
@@ -102,7 +110,6 @@ def log_so3(R):
     axis_fixed = fix(axis, B, k)
     w_pi = axis_fixed * theta[..., None]
 
-    small = theta < 1e-5
     near_pi = theta > jnp.pi - 1e-3
     return jnp.where(
         small[..., None], w_small, jnp.where(near_pi[..., None], w_pi, w_generic)
@@ -196,14 +203,16 @@ def relative(Ra, ta, Rb, tb):
 
 
 def exp_se3(xi):
-    """se(3) exp: (..., 6) [rho, phi] -> (R, t). Left Jacobian closed form."""
+    """se(3) exp: (..., 6) [rho, phi] -> (R, t). Left Jacobian closed form.
+
+    Gradient-safe at theta = 0 (double-where on the sqrt)."""
     rho, phi = xi[..., :3], xi[..., 3:]
     R = exp_so3(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     W = hat(phi)
     W2 = W @ W
-    small = theta < 1e-5
     b = jnp.where(
         small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
     )
@@ -221,12 +230,12 @@ def log_se3(R, t):
     """(R, t) -> se(3) vector (..., 6) [rho, phi]."""
     phi = log_so3(R)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     W = hat(phi)
     W2 = W @ W
-    small = theta < 1e-5
     # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2, a = sin/theta, b = (1-cos)/theta^2
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(
         small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
     )
