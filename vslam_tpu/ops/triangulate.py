@@ -44,8 +44,9 @@ def triangulate_dlt(P1, P2, uv1, uv2):
         rows.append(u[..., None] * P[2] - P[0])
         rows.append(v[..., None] * P[2] - P[1])
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    _, _, Vt = jnp.linalg.svd(A)
-    Xh = Vt[..., 3, :]
+    from vslam_tpu.ops import linalg
+
+    Xh = linalg.svd4x4_nullvec(A)
     w = Xh[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return Xh[..., :3] / w[..., None]
