@@ -1,0 +1,88 @@
+"""SuperPoint / MiDaS / ORB model-level tests (weight-agnostic)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.data import synthetic
+from vslam_tpu.models import midas, superpoint as sp
+from vslam_tpu.ops import matching, nms, orb
+
+
+def test_superpoint_shapes_and_decode():
+    params = sp.init_params(jax.random.PRNGKey(0), height=120, width=160)
+    model = sp.SuperPoint()
+    img = jnp.asarray(
+        np.random.default_rng(0).random((2, 120, 160, 1)), jnp.float32
+    )
+    semi, desc_c = model.apply(params, img)
+    assert semi.shape == (2, 15, 20, 65)
+    assert desc_c.shape == (2, 15, 20, 256)
+    kps, desc = nms.extract_keypoints(semi, desc_c, max_keypoints=64)
+    assert kps.xy.shape == (2, 64, 2)
+    assert desc.shape == (2, 64, 256)
+    # descriptors unit-norm where valid
+    n = np.linalg.norm(np.asarray(desc), axis=-1)
+    v = np.asarray(kps.valid)
+    if v.any():
+        np.testing.assert_allclose(n[v], 1.0, atol=1e-3)
+
+
+def test_nms_decode_heatmap_softmax():
+    rng = np.random.default_rng(0)
+    semi = jnp.asarray(rng.normal(size=(1, 4, 5, 65)).astype(np.float32))
+    heat = np.asarray(nms.decode_heatmap(semi))
+    assert heat.shape == (1, 32, 40)
+    assert heat.min() >= 0 and heat.max() <= 1
+
+
+def test_nms_local_max_selects_peaks():
+    h = np.zeros((1, 40, 40), np.float32)
+    h[0, 10, 10] = 0.9
+    h[0, 11, 11] = 0.5  # within radius of the stronger peak -> suppressed
+    h[0, 30, 5] = 0.7
+    kept = np.asarray(nms.nms_local_max(jnp.asarray(h), radius=4, conf_threshold=0.1))
+    assert kept[0, 10, 10] > 0
+    assert kept[0, 11, 11] == 0
+    assert kept[0, 30, 5] > 0
+    kps = nms.topk_keypoints(jnp.asarray(kept), 10)
+    assert int(kps.valid.sum()) == 2
+
+
+def test_descriptor_sampling_bilinear():
+    # constant coarse descriptor -> sampled descriptor equals it (normalized)
+    d = np.zeros((1, 4, 4, 8), np.float32)
+    d[..., 0] = 3.0
+    kp = jnp.asarray([[[12.0, 20.0], [5.0, 7.0]]])
+    out = np.asarray(nms.sample_descriptors(jnp.asarray(d), kp))
+    np.testing.assert_allclose(out[0, :, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, :, 1:], 0.0, atol=1e-5)
+
+
+def test_midas_interface():
+    params = midas.init_params(jax.random.PRNGKey(1))
+    img = jnp.asarray(np.random.default_rng(0).random((1, 128, 192, 3)), jnp.float32)
+    d = midas.estimate_depth(params, img)
+    assert d.shape == (1, 128, 192)
+    assert float(d.min()) >= 0.0 and float(d.max()) <= 1.0 + 1e-6
+
+
+def test_orb_detects_and_matches_synthetic():
+    rng = np.random.default_rng(3)
+    world = synthetic.make_world(rng, num_landmarks=300, desc_dim=8)
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    img1 = synthetic.render_gray(world, R, t, 120.0, 120.0, 79.5, 59.5, 160, 120)
+    # slightly shifted view
+    t2 = np.array([0.05, 0.0, 0.0], np.float32)
+    img2 = synthetic.render_gray(world, R, t2, 120.0, 120.0, 79.5, 59.5, 160, 120)
+
+    xy1, s1, v1, d1 = orb.detect_orb(jnp.asarray(img1), max_keypoints=128, num_levels=3)
+    xy2, s2, v2, d2 = orb.detect_orb(jnp.asarray(img2), max_keypoints=128, num_levels=3)
+    assert int(v1.sum()) > 30
+    m = matching.knn2_ratio_match(d1, d2, v1, v2, ratio=0.9, mutual=True)
+    n_match = int(m.valid.sum())
+    assert n_match > 10
+    # matched displacement should be consistent (dominant x-shift)
+    dx = np.asarray(xy2[m.idx][:, 0] - xy1[:, 0])[np.asarray(m.valid)]
+    assert np.abs(np.median(dx)) >= 0.5  # ~f*0.05/z = 1-3 px expected shift

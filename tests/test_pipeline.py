@@ -62,3 +62,30 @@ def test_map_grows_and_culls():
     assert 10 < n_map <= cfg.map.map_capacity
     # keyframes registered in ring
     assert int(np.asarray(result.final_state.keyframes.valid).sum()) >= 2
+
+
+def test_posthoc_pgo_preserves_accuracy():
+    from vslam_tpu.eval import ate as ate_mod
+
+    cfg, seq = make_tiny_seq(num_frames=16)
+    result, ate0 = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    r2 = pipeline.run_posthoc_pgo(result, cfg)
+    a2 = ate_mod.compute_ate(
+        r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t, with_scale=False
+    )
+    assert np.isfinite(a2.rmse)
+    # On a healthy drift-free run PGO must not damage the trajectory.
+    assert a2.rmse < ate0.rmse * 1.5 + 5e-3
+
+
+def test_recovery_from_feature_dropout():
+    """Blank out features mid-sequence: tracking must flag loss and the
+    pipeline must survive (recovery path, `src/Slam.cpp:535-613`)."""
+    cfg, seq = make_tiny_seq(num_frames=24)
+    seq.kp_valid[10:12] = False  # total feature dropout for 2 frames
+    result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    ok = np.asarray(result.outputs.tracking_ok)
+    assert not ok[10] or not ok[11]  # loss detected
+    assert np.isfinite(result.t_smoothed).all()
+    # recovers to reasonable accuracy afterwards
+    assert ate_res.rmse < 0.25

@@ -1,0 +1,110 @@
+"""Dense mapping + point-cloud ops vs scipy/naive oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.ops import gridhash, pointcloud as pc
+
+
+def test_knn_matches_scipy(rng):
+    from scipy.spatial import cKDTree
+
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    valid = np.ones(500, bool)
+    d2, idx = pc.knn(jnp.asarray(pts), jnp.asarray(valid), 5, chunk=128)
+    tree = cKDTree(pts)
+    dref, iref = tree.query(pts, k=6)  # includes self
+    np.testing.assert_allclose(
+        np.sqrt(np.asarray(d2)), dref[:, 1:], atol=1e-3
+    )
+    # indices may tie-swap; check sets
+    agree = np.mean([
+        len(set(np.asarray(idx)[i]) & set(iref[i, 1:])) / 5 for i in range(500)
+    ])
+    assert agree > 0.98
+
+
+def test_sor_removes_outliers(rng):
+    pts = rng.normal(size=(400, 3)).astype(np.float32) * 0.5
+    outliers = rng.normal(size=(20, 3)).astype(np.float32) * 0.5 + 10.0
+    allp = np.concatenate([pts, outliers])
+    valid = np.ones(420, bool)
+    keep = np.asarray(pc.statistical_outlier_removal(jnp.asarray(allp), jnp.asarray(valid), k=10))
+    assert keep[:400].mean() > 0.95
+    assert keep[400:].mean() < 0.2
+
+
+def test_normals_on_plane(rng):
+    # points on z=0 plane
+    xy = rng.uniform(-1, 1, (300, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((300, 1), np.float32)], -1)
+    pts += rng.normal(0, 0.002, pts.shape).astype(np.float32)
+    n = np.asarray(pc.estimate_normals(jnp.asarray(pts), jnp.ones(300, bool), k=12,
+                                       viewpoint=jnp.array([0.0, 0.0, 5.0])))
+    # normals ~ +z (oriented to viewpoint)
+    assert np.abs(n[:, 2]).mean() > 0.99
+    assert n[:, 2].mean() > 0.98
+
+
+def test_mls_flattens_noise(rng):
+    xy = rng.uniform(-1, 1, (400, 2)).astype(np.float32)
+    z = rng.normal(0, 0.01, (400, 1)).astype(np.float32)
+    pts = np.concatenate([xy, z], -1)
+    proj = np.asarray(pc.project_to_mls(jnp.asarray(pts), jnp.ones(400, bool), k=16))
+    assert np.abs(proj[:, 2]).std() < np.abs(pts[:, 2]).std()
+
+
+def test_voxel_dedup_insert():
+    state = gridhash.init_dense_map(1 << 14, 1 << 12)
+    pts = np.array([[0.0, 0.0, 0.0], [0.005, 0.005, 0.005], [0.5, 0.5, 0.5]], np.float32)
+    cols = np.zeros((3, 3), np.uint8)
+    insert = jax.jit(gridhash.insert_points)
+    s1 = insert(state, jnp.asarray(pts), jnp.asarray(cols), jnp.ones(3, bool))
+    # points 0 and 1 share the 2cm voxel -> 2 unique
+    assert int(s1.cloud_count) == 2
+    # re-inserting adds nothing
+    s2 = insert(s1, jnp.asarray(pts), jnp.asarray(cols), jnp.ones(3, bool))
+    assert int(s2.cloud_count) == 2
+
+
+def test_dense_accumulation_pipeline(rng):
+    from vslam_tpu.data import synthetic
+
+    # one rendered room depth frame
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    depth = synthetic.render_depth_room(R, t, 120.0, 120.0, 79.5, 59.5, 160, 120)
+    state = gridhash.init_dense_map(1 << 16, 1 << 14)
+    pts, cols, valid = gridhash.backproject_frame(
+        jnp.asarray(depth), None, jnp.asarray(R), jnp.asarray(t),
+        120.0, 120.0, 79.5, 59.5, pixel_step=4,
+    )
+    state = jax.jit(gridhash.insert_points)(state, pts, cols, valid)
+    n1 = int(state.cloud_count)
+    assert n1 > 200
+    # same frame again: no growth
+    state = jax.jit(gridhash.insert_points)(state, pts, cols, valid)
+    assert int(state.cloud_count) == n1
+
+
+def test_adaptive_downsample(rng):
+    near = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+    far = rng.uniform(8, 9, (300, 3)).astype(np.float32)
+    pts = np.concatenate([near, far])
+    keep = np.asarray(pc.adaptive_downsample(
+        jnp.asarray(pts), jnp.ones(600, bool), jnp.zeros(3)
+    ))
+    # coarse far voxels collapse more aggressively
+    assert keep[300:].mean() < keep[:300].mean() + 1e-6
+
+
+def test_fan_triangulation(rng):
+    xy = rng.uniform(0, 0.2, (100, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((100, 1), np.float32)], -1)
+    faces, ok = pc.fan_triangulation(jnp.asarray(pts), jnp.ones(100, bool), k=5, max_edge=0.1)
+    faces, ok = np.asarray(faces), np.asarray(ok)
+    assert ok.sum() > 50
+    f = faces[ok]
+    assert (f >= 0).all() and (f < 100).all()
+    assert (f[:, 0] != f[:, 1]).all()

@@ -65,11 +65,11 @@ class MotionConfig:
     """Two-view motion estimation (Config.h:61-73, 129)."""
 
     # Essential-matrix RANSAC (Config.h:61-62)
-    em_ransac_iters: int = 256  # batched hypotheses (reference: prob-adaptive)
+    em_ransac_iters: int = 128  # batched hypotheses (reference: prob-adaptive)
     em_ransac_threshold_px: float = 1.0
 
     # Fundamental gate (Slam.cpp:885 uses FM_RANSAC 3.0 px)
-    fm_ransac_iters: int = 256
+    fm_ransac_iters: int = 128
     fm_ransac_threshold_px: float = 3.0
 
     # 3D-3D RANSAC (Config.h:65-67)
@@ -89,7 +89,7 @@ class PnPConfig:
     interval: int = 5
     min_points: int = 10
     ransac_threshold_px: float = 8.0
-    ransac_iters: int = 256
+    ransac_iters: int = 128  # reference solvePnPRansac uses 100-300
     gn_iters: int = 10
     recovery_max_jump: float = 1.5
     recovery_blend_close: float = 0.8

@@ -133,6 +133,100 @@ def run_tracking(
     )
 
 
+def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial_height=0.0):
+    """Post-hoc pose-graph optimization over the keyframe ring + loop
+    constraints + height prior (`Slam::run_posthoc_pgo`,
+    `src/Slam.cpp:1748-1755` -> `Optimizer.cpp:654-863`), then the
+    trajectory/map-point correction passes. Returns a new RunResult with
+    corrected positions (raw + smoothed are both corrected)."""
+    from vslam_tpu.ops import pgo
+
+    st = result.final_state
+    kfs = st.keyframes
+    n_kf = int(np.asarray(jnp.sum(kfs.valid)))
+    if n_kf < 2:
+        return result
+
+    oc = config.opt
+    e_i, e_j, e_R, e_t, e_info, e_valid = pgo.build_odometry_edges(
+        kfs.R, kfs.t, kfs.valid, oc.pgo_odom_trans_sigma, oc.pgo_odom_rot_sigma
+    )
+    # Append loop edges.
+    loops = st.loops
+    li = loops.kf_from
+    lj = loops.kf_to
+    l_info = jnp.tile(
+        jnp.concatenate(
+            [
+                jnp.full(3, 1.0 / oc.pgo_lc_trans_sigma**2, jnp.float32),
+                jnp.full(3, 1.0 / oc.pgo_lc_rot_sigma**2, jnp.float32),
+            ]
+        )[None],
+        (li.shape[0], 1),
+    )
+    prob = pgo.PGOProblem(
+        R=kfs.R,
+        t=kfs.t,
+        v_valid=kfs.valid,
+        e_i=jnp.concatenate([e_i, jnp.clip(li, 0, None)]),
+        e_j=jnp.concatenate([e_j, jnp.clip(lj, 0, None)]),
+        e_R=jnp.concatenate([e_R, loops.R_rel]),
+        e_t=jnp.concatenate([e_t, loops.t_rel]),
+        e_info=jnp.concatenate([e_info, l_info]),
+        e_valid=jnp.concatenate([e_valid, loops.valid]),
+        gravity=st.gravity if gravity is None else jnp.asarray(gravity, jnp.float32),
+        height=jnp.asarray(initial_height, jnp.float32),
+        height_info=jnp.asarray(1.0 / oc.pgo_height_sigma**2, jnp.float32),
+        height_on=st.has_height,
+    )
+    R_opt, t_opt = pgo.optimize(prob, iterations=oc.pgo_iterations)
+
+    frame_ids = jnp.arange(result.t.shape[0], dtype=jnp.float32)
+    _, t_corr = pgo.correct_trajectory(
+        frame_ids,
+        jnp.asarray(result.R),
+        jnp.asarray(result.t),
+        kfs.frame_id,
+        kfs.valid,
+        kfs.R,
+        kfs.t,
+        R_opt,
+        t_opt,
+    )
+    _, t_corr_s = pgo.correct_trajectory(
+        frame_ids,
+        jnp.asarray(result.R),
+        jnp.asarray(result.t_smoothed),
+        kfs.frame_id,
+        kfs.valid,
+        kfs.R,
+        kfs.t,
+        R_opt,
+        t_opt,
+    )
+    moved = pgo.correct_map_points(
+        st.map.pos,
+        jnp.mod(st.map.first_kf, kfs.valid.shape[0]),
+        kfs.valid,
+        kfs.R,
+        kfs.t,
+        R_opt,
+        t_opt,
+    )
+    new_state = st._replace(
+        map=st.map._replace(pos=moved),
+        keyframes=kfs._replace(R=R_opt, t=t_opt),
+    )
+    return RunResult(
+        timestamps=result.timestamps,
+        R=result.R,
+        t=np.asarray(t_corr),
+        t_smoothed=np.asarray(t_corr_s),
+        outputs=result.outputs,
+        final_state=new_state,
+    )
+
+
 def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42, smooth=True):
     """End-to-end on a synthetic sequence: gravity init + stationarity +
     tracking + smoothing. Returns (RunResult, ate_result)."""

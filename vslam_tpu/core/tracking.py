@@ -173,35 +173,44 @@ def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
     )
     use_3d3d = res3.ok & jnp.asarray(config.rgbd)
 
-    # Essential fallback
-    Re, te, E, rese = rs.ransac_essential(
-        k2,
-        uv_kf,
-        uv_cur,
-        gated,
-        fx,
-        fy,
-        cx,
-        cy,
-        num_hypotheses=mc.em_ransac_iters,
-        threshold_px=mc.em_ransac_threshold_px,
-        min_inliers=config.frontend.min_inliers,
+    def essential_branch():
+        """Essential fallback + depth-derived scale — only executed when
+        the 3D-3D path fails (`src/Slam.cpp:966-984`); a lax.cond so the
+        expensive 8-point RANSAC is skipped on healthy RGB-D frames."""
+        Re, te, E, rese = rs.ransac_essential(
+            k2, uv_kf, uv_cur, gated, fx, fy, cx, cy,
+            num_hypotheses=mc.em_ransac_iters,
+            threshold_px=mc.em_ransac_threshold_px,
+            min_inliers=config.frontend.min_inliers,
+        )
+        xn_cur = cam.normalize_pixels(uv_cur, fx, fy, cx, cy)
+        kf_d_ok = (depth_kf > config.camera.depth_min) & (
+            depth_kf < config.camera.depth_max
+        )
+        s_med, _ = _single_view_scale(
+            Re, te, p_kf, xn_cur, gated & kf_d_ok & rese.inlier_mask
+        )
+        scale = jnp.where(s_med > 0, s_med, state.last_scale)
+        new_scale = jnp.where(s_med > 0, s_med, state.last_scale)
+        return Re, te * scale, rese.ok, rese.num_inliers, new_scale
+
+    def skip_branch():
+        return R3, t3, res3.ok, res3.num_inliers, state.last_scale
+
+    Re, te_s, e_ok, e_ninl, new_scale_e = jax.lax.cond(
+        use_3d3d, skip_branch, essential_branch
     )
-    xn_cur = cam.normalize_pixels(uv_cur, fx, fy, cx, cy)
-    kf_d_ok = (depth_kf > config.camera.depth_min) & (depth_kf < config.camera.depth_max)
-    s_med, _ = _single_view_scale(Re, te, p_kf, xn_cur, gated & kf_d_ok & rese.inlier_mask)
-    scale = jnp.where(s_med > 0, s_med, state.last_scale)
 
     R_rel = jnp.where(use_3d3d, R3, Re)
-    t_rel = jnp.where(use_3d3d, t3, te * scale)
+    t_rel = jnp.where(use_3d3d, t3, te_s)
 
     # Pose composition (`src/Slam.cpp:960-984`): T_w,cur = T_w,kf ∘ inv(T_rel)
     R_new = state.kf_R @ R_rel.T
     t_new = state.kf_t - R_new @ t_rel
 
-    motion_ok = use_3d3d | rese.ok
-    n_inl = jnp.where(use_3d3d, res3.num_inliers, rese.num_inliers)
-    new_scale = jnp.where(use_3d3d, state.last_scale, jnp.where(s_med > 0, s_med, state.last_scale))
+    motion_ok = use_3d3d | e_ok
+    n_inl = jnp.where(use_3d3d, res3.num_inliers, e_ninl)
+    new_scale = jnp.where(use_3d3d, state.last_scale, new_scale_e)
     return R_new, t_new, use_3d3d, motion_ok, n_inl, new_scale
 
 
@@ -280,19 +289,25 @@ def _refine_pnp(state, frame, config, R_new, t_new, mp_idx, kp_ok, key):
     pc = config.pnp
     X = state.map.pos[jnp.clip(mp_idx, 0, state.map.pos.shape[0] - 1)]
     n_corr = jnp.sum(kp_ok)
-    result = pnp_ops.ransac_pnp(
-        key,
-        X,
-        frame.xy,
-        kp_ok,
-        fx,
-        fy,
-        cx,
-        cy,
-        num_hypotheses=pc.ransac_iters,
-        threshold_px=pc.ransac_threshold_px,
-        min_inliers=pc.min_points,
-        gn_iters=pc.gn_iters,
+    # Correspondences come pre-gated (12 px radius + 0.5 descriptor
+    # threshold), so a Huber-IRLS GN from the CURRENT pose replaces the
+    # reference's solvePnPRansac here — no hypothesis sampling, no 12x12
+    # eigensolve. Robustness is preserved by the Huber weights + the jump
+    # gate below; RANSAC-PnP remains in use for recovery and loop paths.
+    R_cw0 = R_new.T
+    t_cw0 = -R_cw0 @ t_new
+    w0 = kp_ok.astype(X.dtype)
+    R_cw, t_cw = pnp_ops.gn_refine_pose(
+        R_cw0, t_cw0, X, frame.xy, w0, fx, fy, cx, cy,
+        iters=pc.gn_iters, huber_px=pc.ransac_threshold_px * 0.5,
+    )
+    R_pnp, t_pnp = se3.inverse(R_cw, t_cw)
+    p_f = X @ R_cw.T + t_cw
+    uv_f, front_f = cam.project(p_f, fx, fy, cx, cy)
+    err_f = jnp.linalg.norm(uv_f - frame.xy, axis=-1)
+    inl = (err_f < pc.ransac_threshold_px) & front_f & kp_ok
+    result = pnp_ops.PnPResult(
+        R_pnp, t_pnp, inl, jnp.sum(inl), jnp.sum(inl) >= pc.min_points
     )
     inlier_ratio = result.num_inliers / jnp.maximum(n_corr, 1)
     blend = 0.3 + 0.2 * jnp.clip(inlier_ratio, 0.0, 1.0)
@@ -406,11 +421,154 @@ def _make_keyframe(state: TrackState, frame, config, R_new, t_new, m, gated):
     )
 
 
+def _try_pnp_recovery(st: TrackState, frame: FrameFeatures, config: SlamConfig, key):
+    """Tracking-loss recovery against the whole map
+    (`src/Slam.cpp:535-613`): global descriptor match vs all map points,
+    solvePnPRansac(300), distance-dependent blending (0.8 close / 0.3
+    far), jump gate 1.5 m, EKF reset + cooldown.
+
+    Returns (R, t, ok).
+    """
+    fx, fy, cx, cy = _intr(config)
+    pc = config.pnp
+    mres = matching.knn2_ratio_match(
+        frame.desc,
+        st.map.desc,
+        frame.valid,
+        st.map.valid,
+        ratio=config.frontend.l2_ratio_threshold,
+        mutual=False,
+    )
+    X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
+    result = pnp_ops.ransac_pnp(
+        key,
+        X,
+        frame.xy,
+        mres.valid,
+        fx, fy, cx, cy,
+        num_hypotheses=pc.ransac_iters,
+        threshold_px=pc.ransac_threshold_px,
+        min_inliers=pc.min_points,
+        gn_iters=pc.gn_iters,
+    )
+    jump = jnp.linalg.norm(result.t - st.t)
+    ok = result.ok & (jump < pc.recovery_max_jump)
+    blend = jnp.where(jump < 0.5, pc.recovery_blend_close, pc.recovery_blend_far)
+    t_rec = st.t + blend * (result.t - st.t)
+    dR = result.R @ st.R.T
+    w = se3.log_so3(dR)
+    R_rec = se3.exp_so3(w * blend) @ st.R
+    return R_rec, t_rec, ok
+
+
+def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfig,
+                         R_new, t_new, key):
+    """Loop detection + constraint accumulation (`src/LoopCloser.cpp:16-100`
+    + `src/Slam.cpp:730-798`).
+
+    Batched form: descriptor-match the current frame against EVERY stored
+    keyframe at once (one (KFC*K, K) distance computation), ratio test,
+    pick the candidate with the most matches, Essential-RANSAC verify,
+    then PnP against map points created near the matched keyframe with the
+    (0.01, 0.5) m jump gate. On success, appends a LoopConstraint.
+    """
+    fx, fy, cx, cy = _intr(config)
+    lc = config.loop
+    kfs = st.keyframes
+    KFC, K, D = kfs.desc.shape
+
+    slot_ids = jnp.arange(KFC, dtype=jnp.int32)
+    cand = (
+        kfs.valid
+        & (frame.frame_id - kfs.frame_id >= lc.min_frame_gap)
+        & (jnp.mod(slot_ids, lc.kf_stride) == 0)
+    )
+
+    # Distances: current frame (K, D) vs all KF descriptors (KFC, K, D).
+    dots = jnp.einsum("kd,oid->oki", frame.desc, kfs.desc)  # (KFC, K, K)
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
+    d2 = jnp.where(frame.valid[None, :, None], d2, 1e9)
+    d2 = jnp.where(kfs.kp_valid[:, None, :], d2, 1e9)
+    top2 = -jax.lax.top_k(-d2, 2)[0]  # (KFC, K, 2) smallest two
+    best_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (KFC, K)
+    match_ok = (top2[..., 0] < config.frontend.l2_ratio_threshold * top2[..., 1]) & (
+        top2[..., 0] < 1e8
+    ) & frame.valid[None, :]
+    counts = jnp.sum(match_ok, axis=-1) * cand  # (KFC,)
+    best_kf = jnp.argmax(counts).astype(jnp.int32)
+    enough = counts[best_kf] >= config.frontend.min_matches
+
+    # Essential verification on the best candidate's matches.
+    uv_cur = frame.xy
+    uv_old = kfs.xy[best_kf][best_idx[best_kf]]  # matched old-KF pixels per cur kp
+    mok = match_ok[best_kf]
+    k1, k2 = jax.random.split(key)
+    _, _, _, eres = rs.ransac_essential(
+        k1, uv_old, uv_cur, mok, fx, fy, cx, cy,
+        num_hypotheses=config.motion.em_ransac_iters,
+        threshold_px=config.motion.em_ransac_threshold_px,
+        min_inliers=lc.min_inliers,
+    )
+
+    # PnP vs map points created near the matched keyframe (`Slam.cpp:744-782`).
+    cand_frame_id = kfs.frame_id[best_kf]
+    pt_kf_frame = kfs.frame_id[jnp.mod(st.map.first_kf, KFC)]
+    nearby = st.map.valid & (
+        jnp.abs(pt_kf_frame - cand_frame_id) <= lc.nearby_frame_range
+    )
+    mres = matching.knn2_ratio_match(
+        frame.desc, st.map.desc, frame.valid, nearby,
+        ratio=config.frontend.l2_ratio_threshold, mutual=False,
+    )
+    X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
+    pnp_res = pnp_ops.ransac_pnp(
+        k2, X, frame.xy, mres.valid, fx, fy, cx, cy,
+        num_hypotheses=config.pnp.ransac_iters,
+        threshold_px=config.pnp.ransac_threshold_px,
+        min_inliers=config.pnp.min_points,
+    )
+    jump = jnp.linalg.norm(pnp_res.t - t_new)
+    accept = (
+        enough
+        & eres.ok
+        & pnp_res.ok
+        & (jump > lc.min_jump)
+        & (jump < lc.max_jump)
+        & (counts[best_kf] > 0)
+    )
+
+    # Constraint: relative pose between matched KF and PnP-verified pose.
+    R_rel, t_rel = se3.relative(kfs.R[best_kf], kfs.t[best_kf], pnp_res.R, pnp_res.t)
+    loops = st.loops
+    cursor = jnp.sum(loops.valid)
+    L = loops.valid.shape[0]
+    cur_slot = jnp.mod(st.kf_count, KFC).astype(jnp.int32)
+    write = accept & (cursor < L)
+    idx = jnp.where(write, cursor, L - 1).astype(jnp.int32)
+    loops = loops._replace(
+        kf_from=loops.kf_from.at[idx].set(jnp.where(write, best_kf, loops.kf_from[idx])),
+        kf_to=loops.kf_to.at[idx].set(jnp.where(write, cur_slot, loops.kf_to[idx])),
+        R_rel=loops.R_rel.at[idx].set(jnp.where(write, R_rel, loops.R_rel[idx])),
+        t_rel=loops.t_rel.at[idx].set(jnp.where(write, t_rel, loops.t_rel[idx])),
+        valid=loops.valid.at[idx].set(jnp.where(write, True, loops.valid[idx])),
+    )
+    return st._replace(loops=loops)
+
+
+from vslam_tpu.ops.linalg import f32_matmuls
+
+
+@f32_matmuls
 def tracking_step(
     state: TrackState, frame: FrameFeatures, config: SlamConfig, key
 ) -> Tuple[TrackState, StepOutputs]:
-    """One frame through the full tracking state machine."""
-    k_match, k_motion, k_pnp = jax.random.split(key, 3)
+    """One frame through the full tracking state machine.
+
+    Wrapped in full-f32 matmul precision: geometry at 5-cm inlier
+    thresholds cannot tolerate the TPU's default bf16 matmul passes
+    (descriptor matmuls lose a little speed; correctness wins).
+    """
+    k_match, k_motion, k_pnp, k_recover, k_loop = jax.random.split(key, 5)
 
     def bootstrap(st: TrackState):
         """First frame: become the first keyframe at the initial pose
@@ -456,6 +614,20 @@ def tracking_step(
         enough = n_matches >= config.frontend.min_matches
         motion_ok = motion_ok & enough
 
+        # Tracking-loss recovery vs the whole map (`src/Slam.cpp:875, 535-613`):
+        # only when matching collapsed and the cooldown has expired.
+        can_recover = (
+            (~enough)
+            & (st.recovery_cooldown <= 0)
+            & (jnp.sum(st.map.valid) >= config.pnp.min_points)
+        )
+        R_rec, t_rec, rec_ok = jax.lax.cond(
+            can_recover,
+            lambda: _try_pnp_recovery(st, frame, config, k_recover),
+            lambda: (st.R, st.t, jnp.asarray(False)),
+        )
+        recovered = can_recover & rec_ok
+
         # Stationary frames: freeze position, keep rotation update
         # (`src/Slam.cpp:618-694`).
         R_new = jnp.where(motion_ok, R_mot, st.R)
@@ -466,6 +638,15 @@ def tracking_step(
         )
         R_new = se3.orthonormalize(R_new)
         t_new = jnp.where(frame.stationary, st.t, t_fused)
+
+        # Recovery overrides the visual/EKF pose and resets the filter
+        # (`src/Slam.cpp:595-610`).
+        R_new = jnp.where(recovered, R_rec, R_new)
+        t_new = jnp.where(recovered, t_rec, t_new)
+        ekf_reset = ekf_ops.initialize(t_rec, frame.timestamp)
+        ekf_st = jax.tree.map(
+            lambda reset, keep: jnp.where(recovered, reset, keep), ekf_reset, ekf_st
+        )
 
         # Local-map tracking + PnP refinement
         mp_idx, kp_ok, map2 = _track_local_map(st, frame, config, R_new, t_new)
@@ -485,14 +666,20 @@ def tracking_step(
             ((gap >= config.map.kf_min_frame_gap) & (n_matches >= config.map.kf_min_matches))
             | ((gap >= config.map.kf_proactive_min_gap)
                & (n_matches < config.map.kf_proactive_max_matches))
-        ) & motion_ok & ~frame.stationary
+        ) & motion_ok & ~frame.stationary & ~recovered
 
-        st_kf = jax.lax.cond(
-            is_kf,
-            lambda s: _make_keyframe(s, frame, config, R_fin, t_fin, m, gated),
-            lambda s: s,
-            st,
-        )
+        def kf_branch(s):
+            s2 = _make_keyframe(s, frame, config, R_fin, t_fin, m, gated)
+            # Loop closure every Nth keyframe (`src/Slam.cpp:1084-1086`).
+            check = jnp.mod(s2.kf_count, config.loop.check_interval_kfs) == 0
+            return jax.lax.cond(
+                check,
+                lambda s3: _handle_loop_closure(s3, frame, config, R_fin, t_fin, k_loop),
+                lambda s3: s3,
+                s2,
+            )
+
+        st_kf = jax.lax.cond(is_kf, kf_branch, lambda s: s, st)
 
         st_out = st_kf._replace(
             R=R_fin,
@@ -501,7 +688,12 @@ def tracking_step(
             frame_idx=st.frame_idx + 1,
             last_time=frame.timestamp,
             last_scale=new_scale,
-            tracking_ok=motion_ok,
+            tracking_ok=motion_ok | recovered,
+            recovery_cooldown=jnp.where(
+                recovered,
+                jnp.asarray(config.pnp.recovery_cooldown_frames, jnp.int32),
+                jnp.maximum(st.recovery_cooldown - 1, 0),
+            ),
         )
         out = StepOutputs(
             R=R_fin, t=t_fin, timestamp=frame.timestamp,

@@ -19,7 +19,24 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
+
+
+def f32_matmuls(fn):
+    """Pin full-float32 matmul precision for everything traced inside.
+
+    The TPU MXU lowers f32 matmuls to bf16 passes by default
+    (`jax_default_matmul_precision`), which is fine for convolutions but
+    destroys iterated Givens applications and 5-cm-threshold geometry.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _jacobi_sweeps(n: int) -> int:
@@ -32,6 +49,7 @@ def _jacobi_sweeps(n: int) -> int:
     return 9
 
 
+@f32_matmuls
 def eigh_small(A, sweeps: int | None = None):
     """Batched symmetric eigendecomposition via cyclic Jacobi.
 
@@ -49,8 +67,6 @@ def eigh_small(A, sweeps: int | None = None):
     N-1 rounds per sweep instead of N(N-1)/2 sequential rotations, driven
     by one `fori_loop` over a static schedule (compiles once).
     """
-    import jax
-
     N = A.shape[-1]
     if sweeps is None:
         sweeps = _jacobi_sweeps(N)
@@ -124,6 +140,7 @@ def _normalize_or(v, fallback, eps=1e-12):
     return jnp.where(ok, safe, fallback), ok[..., 0]
 
 
+@f32_matmuls
 def svd3x3(A):
     """Batched full SVD of general (..., 3, 3): returns (U, S, Vt) with
     descending singular values, robust to rank deficiency (minimal-set
@@ -159,6 +176,7 @@ def svd3x3(A):
     return U, S, jnp.swapaxes(V, -1, -2)
 
 
+@f32_matmuls
 def polar3x3(A):
     """Nearest rotation matrix (det +1) to A — the Kabsch projection
     U diag(1, 1, det(U V^T)) V^T."""
@@ -171,6 +189,7 @@ def polar3x3(A):
     return (U * D[..., None, :]) @ Vt
 
 
+@f32_matmuls
 def svd4x4_nullvec(A):
     """Smallest right singular vector of (..., 4, 4) via eigh(A^T A)
     (triangulation DLT only needs the null vector, not the full SVD)."""

@@ -23,10 +23,18 @@ _BIG = 1e9
 def l2_distance_matrix(desc1, desc2, valid1=None, valid2=None):
     """(N, D) x (M, D) -> (N, M) L2 distances; invalid rows/cols -> +BIG.
 
-    Dot product in float32 on the MXU (`preferred_element_type`), then the
-    normalized-descriptor identity. Clamps tiny negatives from rounding.
+    Dot product accumulated in float32 but with DEFAULT (bf16-pass) MXU
+    precision — descriptor distances only feed relative comparisons
+    (ratio/threshold tests), where bf16's ~0.4% error is immaterial, and
+    this matmul is the biggest single op in the tracking step. The
+    explicit precision opts out of the f32 pin on the tracking step.
     """
-    dots = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32)
+    dots = jnp.dot(
+        desc1,
+        desc2.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     d2 = jnp.maximum(2.0 - 2.0 * dots, 0.0)
     d = jnp.sqrt(d2)
     if valid1 is not None:

@@ -67,15 +67,40 @@ class Keypoints(NamedTuple):
     valid: jnp.ndarray  # (B, K) bool
 
 
-def topk_keypoints(nms_map, max_keypoints=400):
+def topk_keypoints(nms_map, max_keypoints=400, tile=8, per_tile=4):
     """Select the top-K surviving scores (`FeatureExtractor.cpp:238-258`
-    sorts + truncates to SP_MAX_KEYPOINTS)."""
+    sorts + truncates to SP_MAX_KEYPOINTS).
+
+    Hierarchical and LOSSLESS: window-max NMS guarantees survivors are
+    >= radius+1 pixels apart (Chebyshev), so an 8x8 tile holds at most 4
+    survivors — top-4 per tile then a global top-K over the 16x-smaller
+    candidate set. (A flat lax.top_k over H*W was ~5x the cost of the
+    whole decode on TPU.)
+    """
     B, H, W = nms_map.shape
-    flat = nms_map.reshape(B, H * W)
-    scores, idx = jax.lax.top_k(flat, max_keypoints)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    xy = jnp.stack([xs, ys], axis=-1)
+    Ht, Wt = H // tile, W // tile
+    tiles = nms_map[:, : Ht * tile, : Wt * tile]
+    tiles = tiles.reshape(B, Ht, tile, Wt, tile).transpose(0, 1, 3, 2, 4)
+    tiles = tiles.reshape(B, Ht * Wt, tile * tile)
+    tv, ti = jax.lax.top_k(tiles, per_tile)  # (B, nT, per_tile)
+
+    tile_ids = jax.lax.broadcasted_iota(jnp.int32, (B, Ht * Wt, per_tile), 1)
+    ty = tile_ids // Wt
+    tx = tile_ids % Wt
+    iy = ti // tile
+    ix = ti % tile
+    ys = (ty * tile + iy).reshape(B, -1)
+    xs = (tx * tile + ix).reshape(B, -1)
+    cand = tv.reshape(B, -1)
+
+    scores, sel = jax.lax.top_k(cand, max_keypoints)
+    xy = jnp.stack(
+        [
+            jnp.take_along_axis(xs, sel, axis=1).astype(jnp.float32),
+            jnp.take_along_axis(ys, sel, axis=1).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
     valid = scores > 0.0
     return Keypoints(xy, scores, valid)
 

@@ -1,0 +1,198 @@
+"""Point-cloud neighborhood ops: the nanoflann KD-tree replacement.
+
+The reference vendors nanoflann (2,813 LoC) and builds KD-trees for
+statistical outlier removal, PCA surface filtering, normal estimation,
+fan-triangulation meshing, MLS projection, planar densification and
+distance-adaptive downsampling (`/root/reference/src/main.cpp:450-965`).
+
+On TPU, exact brute-force k-NN via the MXU beats any tree at these sizes
+(10k-1M points): ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b is one matmul, chunked
+over query rows so the distance block stays in registers/VMEM. All ops
+below are masked, static-shape, jit-friendly; PCA eigenproblems use the
+batched 3x3 Jacobi solver (ops.linalg).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.ops import linalg
+
+_BIG = 1e18
+
+
+def knn(points, valid, k, query=None, query_valid=None, chunk=2048):
+    """Exact k-NN (excluding self when query is points).
+
+    Args:
+      points: (N, 3) database; valid (N,).
+      k: neighbor count (static).
+      query: (Q, 3) or None (self-query, self excluded).
+
+    Returns (dist (Q, k), idx (Q, k) int32): squared distances ascending.
+    """
+    self_query = query is None
+    if query is None:
+        query, query_valid = points, valid
+    N = points.shape[0]
+    Q = query.shape[0]
+    k = min(k, N - 1 if self_query else N)
+
+    pn = jnp.sum(points * points, axis=-1)
+
+    def one_chunk(qc, qv, qidx):
+        d = (
+            jnp.sum(qc * qc, axis=-1)[:, None]
+            + pn[None, :]
+            - 2.0 * jnp.dot(qc, points.T, preferred_element_type=jnp.float32)
+        )
+        d = jnp.where(valid[None, :], d, _BIG)
+        if self_query:
+            same = qidx[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]
+            d = jnp.where(same, _BIG, d)
+        nd, ni = jax.lax.top_k(-d, k)
+        return -nd, ni.astype(jnp.int32)
+
+    # Pad Q to a multiple of chunk and scan over chunks.
+    pad = (-Q) % chunk
+    qp = jnp.concatenate([query, jnp.zeros((pad, 3), query.dtype)], axis=0)
+    qvp = jnp.concatenate([query_valid, jnp.zeros(pad, bool)], axis=0)
+    qip = jnp.arange(Q + pad, dtype=jnp.int32)
+    qp = qp.reshape(-1, chunk, 3)
+    qvp = qvp.reshape(-1, chunk)
+    qip = qip.reshape(-1, chunk)
+
+    def scan_fn(_, inp):
+        qc, qv, qi = inp
+        return None, one_chunk(qc, qv, qi)
+
+    _, (dists, idxs) = jax.lax.scan(scan_fn, None, (qp, qvp, qip))
+    dists = dists.reshape(-1, k)[:Q]
+    idxs = idxs.reshape(-1, k)[:Q]
+    dists = jnp.maximum(dists, 0.0)
+    return dists, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def statistical_outlier_removal(points, valid, k=20, std_ratio=2.0):
+    """SOR (`main.cpp:512-563`): drop points whose mean k-NN distance
+    exceeds mean + std_ratio * std over the cloud. Returns new valid mask."""
+    d2, _ = knn(points, valid, k)
+    mean_d = jnp.mean(jnp.sqrt(d2), axis=-1)
+    mean_d = jnp.where(valid, mean_d, 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    mu = jnp.sum(mean_d) / n
+    var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / n
+    thresh = mu + std_ratio * jnp.sqrt(var)
+    return valid & (mean_d <= thresh)
+
+
+def _pca_neighborhoods(points, valid, k):
+    """k-NN covariance eigendecomposition per point: returns
+    (eigvals ascending (N, 3), eigvecs (N, 3, 3), mean (N, 3))."""
+    _, idx = knn(points, valid, k)
+    nbr = points[idx]  # (N, k, 3)
+    mean = jnp.mean(nbr, axis=1)
+    c = nbr - mean[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", c, c) / k
+    w, V = linalg.eigh_small(cov)
+    return w, V, mean
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def estimate_normals(points, valid, k=16, viewpoint=None):
+    """Normals from smallest PCA eigenvector (`main.cpp:645-687`);
+    oriented toward `viewpoint` when given."""
+    w, V, _ = _pca_neighborhoods(points, valid, k)
+    normals = V[..., :, 0]  # smallest eigenvalue's eigenvector
+    if viewpoint is not None:
+        to_vp = viewpoint - points
+        flip = jnp.sum(normals * to_vp, axis=-1) < 0
+        normals = jnp.where(flip[:, None], -normals, normals)
+    return normals
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def surface_aware_filter(points, valid, k=20, planarity_min=0.1):
+    """PCA anisotropy filter (`main.cpp:568-642`): keep points whose
+    neighborhood is surface-like (small lambda0 relative to the trace —
+    i.e. locally planar), drop isolated 'fuzz'. Returns new valid mask."""
+    w, _, _ = _pca_neighborhoods(points, valid, k)
+    trace = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
+    surface_score = 1.0 - w[..., 0] / trace  # 1 = perfectly planar
+    return valid & (surface_score >= 1.0 - planarity_min) | (valid & (surface_score > 0.9))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_new_per_point"))
+def densify_surfaces(points, valid, key, k=8, max_new_per_point=2, max_gap=0.08):
+    """Planar densification (`main.cpp:846-965`): sample new points on the
+    local tangent plane between a point and its (sufficiently distant)
+    neighbors. Returns (new_points (N*max_new, 3), new_valid)."""
+    d2, idx = knn(points, valid, k)
+    normals_w, V, mean = _pca_neighborhoods(points, valid, k)
+    d = jnp.sqrt(d2)
+    # Midpoints toward the farthest few neighbors, projected to the plane.
+    sel = idx[:, -max_new_per_point:]  # farthest of the k
+    seld = d[:, -max_new_per_point:]
+    nbr = points[sel]
+    mid = 0.5 * (points[:, None, :] + nbr)
+    n_vec = V[..., :, 0]
+    # project onto local plane through the point
+    off = jnp.einsum("npi,ni->np", mid - points[:, None, :], n_vec)
+    proj = mid - off[..., None] * n_vec[:, None, :]
+    ok = valid[:, None] & (seld > 1e-4) & (seld < max_gap)
+    return proj.reshape(-1, 3), ok.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def project_to_mls(points, valid, k=12):
+    """MLS projection (`main.cpp:779-841`): move each point onto the local
+    least-squares plane of its neighborhood (first-order MLS)."""
+    w, V, mean = _pca_neighborhoods(points, valid, k)
+    n_vec = V[..., :, 0]
+    off = jnp.einsum("ni,ni->n", points - mean, n_vec)
+    proj = points - off[:, None] * n_vec
+    return jnp.where(valid[:, None], proj, points)
+
+
+def adaptive_downsample(points, valid, origin, bins=(2.0, 5.0, 10.0),
+                        voxel_sizes=(0.01, 0.03, 0.08, 0.20)):
+    """Distance-adaptive voxel downsample (`main.cpp:450-495`): finer
+    voxels near the origin, coarser far away. Returns keep mask."""
+    from vslam_tpu.ops import gridhash
+
+    dist = jnp.linalg.norm(points - origin, axis=-1)
+    level = jnp.searchsorted(jnp.asarray(bins), dist)
+    vs = jnp.asarray(voxel_sizes)[level]
+    coords = jnp.floor(points / vs[:, None]).astype(jnp.int32)
+    # Per-level election: first point in its voxel wins.
+    C = 1 << 20
+    slot = gridhash.voxel_hash(coords, C) + level * C
+    N = points.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    tab = jnp.full(4 * C, N, jnp.int32).at[jnp.where(valid, slot, 4 * C - 1)].min(
+        jnp.where(valid, idx, N), mode="drop"
+    )
+    return valid & (tab[slot] == idx)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fan_triangulation(points, valid, k=6, max_edge=0.05):
+    """Local fan meshing (`main.cpp:692-774`): for each point, fan
+    triangles to consecutive near neighbors. Returns (faces (N*(k-1), 3)
+    int32, face_valid). Produces a triangle soup suitable for PLY export."""
+    d2, idx = knn(points, valid, k)
+    d = jnp.sqrt(d2)
+    i0 = jnp.arange(points.shape[0], dtype=jnp.int32)[:, None]
+    a = idx[:, :-1]
+    b = idx[:, 1:]
+    faces = jnp.stack([jnp.broadcast_to(i0, a.shape), a, b], axis=-1)
+    ok = (
+        valid[:, None]
+        & (d[:, :-1] < max_edge)
+        & (d[:, 1:] < max_edge)
+    )
+    return faces.reshape(-1, 3), ok.reshape(-1)

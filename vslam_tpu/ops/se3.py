@@ -45,15 +45,21 @@ def exp_so3(w):
     Taylor-safe at theta -> 0 (matches cv::Rodrigues semantics).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    small = theta2 < 1e-10
+    # Wide series window: f32 loses (1-cos) entirely below theta ~ 3e-4 and
+    # to cancellation below ~3e-2; series are MORE accurate there.
+    small = theta2 < 1e-3
     # Double-where: sqrt sees only safe values so its grad stays finite.
     theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     W = hat(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near zero
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    # sin(t)/t and (1-cos(t))/t^2; (1-cos) via the cancellation-free
+    # half-angle identity 2 sin^2(t/2).
+    a = jnp.where(small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
+                  jnp.sin(theta) / theta)
+    sh = jnp.sin(theta * 0.5)
     b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
+        small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
+        2.0 * sh * sh / jnp.where(small, 1.0, theta2)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
@@ -71,14 +77,14 @@ def log_so3(R):
     s2 = jnp.sum(a * a, axis=-1)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    s_safe = jnp.sqrt(jnp.where(s2 < _EPS, 1.0, s2))
-    sin_t = jnp.where(s2 < _EPS, jnp.sqrt(jnp.maximum(s2, 0.0) + 1e-20), s_safe)
+    s_safe = jnp.sqrt(jnp.where(s2 < 1e-3, 1.0, s2))
+    sin_t = jnp.where(s2 < 1e-3, jnp.sqrt(jnp.maximum(s2, 0.0) + 1e-20), s_safe)
     theta = jnp.arctan2(sin_t, cos_t)
     # sin(theta) is also tiny near theta = pi: only treat as "small angle"
     # when cos(theta) > 0.
-    small = (s2 < _EPS) & (cos_t > 0.0)
-    # theta/sin(theta): series 1 + theta^2/6 for small (theta ~ sin there)
-    factor = jnp.where(small, 1.0 + s2 / 6.0, theta / s_safe)
+    small = (s2 < 1e-3) & (cos_t > 0.0)
+    # theta/sin(theta) = 1 + s^2/6 + 3 s^4/40 + ... (series in s = sin theta)
+    factor = jnp.where(small, 1.0 + s2 / 6.0 + 0.075 * s2 * s2, theta / s_safe)
     w_generic = a * factor[..., None]
     w_small = a
     # Near pi: use diagonal of (R + I)/2 = w w^T / theta^2 trick
@@ -209,12 +215,14 @@ def exp_se3(xi):
     rho, phi = xi[..., :3], xi[..., 3:]
     R = exp_so3(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    small = theta2 < 1e-10
+    small = theta2 < 1e-3
     theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     W = hat(phi)
     W2 = W @ W
+    sh = jnp.sin(theta * 0.5)
     b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
+        small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
+        2.0 * sh * sh / jnp.where(small, 1.0, theta2)
     )
     c = jnp.where(
         small,
@@ -230,15 +238,17 @@ def log_se3(R, t):
     """(R, t) -> se(3) vector (..., 6) [rho, phi]."""
     phi = log_so3(R)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    small = theta2 < 1e-10
+    # f32: (1 - a/(2b)) cancels catastrophically for theta < ~0.03; the
+    # series 1/12 + theta^2/720 is exact to 1e-9 there.
+    small = theta2 < 1e-3
     theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     W = hat(phi)
     W2 = W @ W
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2, a = sin/theta, b = (1-cos)/theta^2
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    # V^{-1} = I - W/2 + coef W^2; a = sin/theta, b = 2 sin^2(t/2)/theta^2
+    a = jnp.sin(theta) / theta
+    sh = jnp.sin(theta * 0.5)
+    b = 2.0 * sh * sh / jnp.where(small, 1.0, theta2)
+    b = jnp.where(small, 0.5, b)  # placeholder, unused in small branch
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
