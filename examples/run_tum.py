@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Full SLAM application driver — the `main()` equivalent.
+
+Mirrors the reference binary's end-to-end flow (`/root/reference/src/
+main.cpp:1483-1561` + the SLAM thread `:1036-1478`):
+
+  load TUM sequence -> gravity init + stationarity -> SuperPoint features
+  (or cache replay) -> tracking scan (every FRAME_STEP-th frame) -> dense
+  cloud accumulation -> RTS smoothing -> post-hoc PGO -> ATE/RPE vs
+  ground truth -> trajectory + PLY exports -> viewer renders.
+
+Usage:
+  python examples/run_tum.py <dataset_dir> [--out out/] [--mono]
+      [--frame-step 3] [--cache sp_cache.npz] [--poisson]
+      [--max-frames N] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+# Allow running straight from a repo checkout.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", help="TUM sequence directory")
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--mono", action="store_true", help="monocular mode (ignore depth)")
+    ap.add_argument("--frame-step", type=int, default=3)
+    ap.add_argument("--cache", default=None, help="feature cache path (.npz or SPCF .bin)")
+    ap.add_argument("--poisson", action="store_true", help="run external PoissonRecon if available")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--render", action="store_true", help="render viewer frames")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vslam_tpu.config import SlamConfig
+    from vslam_tpu.core import frontend as fe, pipeline
+    from vslam_tpu.data import loader as loader_mod, tum
+    from vslam_tpu.eval import ate as ate_mod
+    from vslam_tpu.io import ply, trajectory
+    from vslam_tpu.ops import ekf as ekf_ops, gridhash, pointcloud as pc
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = SlamConfig(rgbd=not args.mono)
+    cam = cfg.camera
+
+    # ---- L1: dataset ----
+    ld = loader_mod.open_sequence(args.dataset, width=cam.width, height=cam.height,
+                                  depth_scale=cam.depth_scale)
+    seq_meta = tum.load_sequence(args.dataset)
+    n_total = len(ld)
+    step = args.frame_step
+    idxs = list(range(0, n_total, step))
+    if args.max_frames:
+        idxs = idxs[: args.max_frames]
+    print(f"[data] {n_total} frames, processing every {step}rd -> {len(idxs)}")
+
+    t0 = time.perf_counter()
+    ld.prefetch(0, step, len(idxs))
+    grays, depths, stamps, rgbs = [], [], [], []
+    for i in idxs:
+        rgb, depth, ts = ld.get(i)
+        grays.append(np.mean(rgb, axis=-1).astype(np.float32) / 255.0)
+        depths.append(depth if not args.mono else np.zeros_like(depth))
+        rgbs.append(rgb)
+        stamps.append(ts)
+    grays = np.stack(grays)
+    depths = np.stack(depths)
+    stamps = np.asarray(stamps)
+    print(f"[data] decoded in {time.perf_counter() - t0:.1f}s "
+          f"({'native' if type(ld).__name__.startswith('Native') else 'python'} loader)")
+
+    # ---- IMU priors ----
+    gravity, h0, stationary = None, 0.0, None
+    if seq_meta.accel is not None:
+        gravity, h0 = pipeline.compute_gravity_direction(seq_meta.accel, np.eye(3))
+        stationary = pipeline.detect_stationary(seq_meta.accel, stamps)
+        print(f"[imu] gravity {gravity}, stationary frames: {int(stationary.sum())}")
+
+    # ---- L2: frontend ----
+    t0 = time.perf_counter()
+    front = fe.SuperPointFrontend(cfg)
+    print(f"[frontend] SuperPoint weights: {front.weight_source}")
+    frames = fe.extract_sequence(
+        front, grays, depths, stamps, stationary=stationary, cache_path=args.cache
+    )
+    print(f"[frontend] features in {time.perf_counter() - t0:.1f}s")
+
+    # ---- L4: tracking scan + RTS ----
+    t0 = time.perf_counter()
+    result = pipeline.run_tracking(
+        frames, cfg, gravity=gravity, initial_height=h0, smooth=True
+    )
+    dt = time.perf_counter() - t0
+    print(f"[track] {len(idxs)} frames in {dt:.2f}s ({len(idxs) / dt:.1f} fps)")
+
+    # ---- post-hoc PGO ----
+    result = pipeline.run_posthoc_pgo(result, cfg, gravity=gravity, initial_height=h0)
+
+    # ---- dense cloud ----
+    dstate = gridhash.init_dense_map(cfg.dense.hash_capacity, cfg.dense.cloud_capacity)
+    insert = jax.jit(gridhash.insert_points)
+    for k in range(len(idxs)):
+        pts, cols, valid = gridhash.backproject_frame(
+            jnp.asarray(depths[k]), jnp.asarray(rgbs[k]),
+            jnp.asarray(result.R[k]), jnp.asarray(result.t_smoothed[k]),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            pixel_step=cfg.dense.pixel_step, max_depth=cfg.dense.max_depth,
+        )
+        dstate = insert(dstate, pts, cols, valid)
+    n_dense = int(dstate.cloud_count)
+    print(f"[dense] {n_dense} voxel-deduped points")
+
+    # ---- evaluation ----
+    if seq_meta.gt is not None:
+        gt = seq_meta.gt
+        res_ate = ate_mod.compute_ate(stamps, result.t_smoothed, gt[:, 0], gt[:, 1:4])
+        res_rpe = ate_mod.compute_rpe(stamps, result.t_smoothed, gt[:, 0], gt[:, 1:4])
+        print(f"[eval] ATE RMSE: {res_ate.rmse:.4f} m (mean {res_ate.mean:.4f}, "
+              f"pairs {res_ate.num_pairs})")
+        print(f"[eval] RPE RMSE: {res_rpe.rmse:.4f} m/step")
+
+    # ---- exports (main.cpp:1340-1477) ----
+    trajectory.save_trajectory(os.path.join(args.out, "estimated_trajectory.txt"),
+                               stamps, result.t_smoothed)
+    trajectory.save_trajectory_full(
+        os.path.join(args.out, "estimated_trajectory_full.txt"),
+        stamps, result.R, result.t_smoothed,
+    )
+    st = result.final_state
+    map_valid = np.asarray(st.map.valid)
+    sparse = np.asarray(st.map.pos)[map_valid]
+    if len(sparse):
+        sv = jnp.ones(len(sparse), bool)
+        sv = pc.statistical_outlier_removal(jnp.asarray(sparse), sv, k=min(20, len(sparse) - 1))
+        keep = np.asarray(sv)
+        ply.save_ply(os.path.join(args.out, "estimated_map.ply"), sparse[keep])
+    if n_dense:
+        ply.save_ply(
+            os.path.join(args.out, "dense_map.ply"),
+            np.asarray(dstate.cloud_xyz)[:n_dense],
+            colors=np.asarray(dstate.cloud_rgb)[:n_dense],
+        )
+
+    if args.poisson:
+        _run_poisson(os.path.join(args.out, "dense_map.ply"), args.out)
+
+    if args.render:
+        from vslam_tpu.viz import viewer
+
+        paths = viewer.render_run(
+            result, os.path.join(args.out, "viz"), every=max(len(idxs) // 20, 1),
+            dense=(np.asarray(dstate.cloud_xyz)[:n_dense],
+                   np.asarray(dstate.cloud_rgb)[:n_dense]) if n_dense else None,
+        )
+        print(f"[viz] {len(paths)} frames -> {args.out}/viz")
+
+    print(f"[done] outputs in {args.out}/")
+
+
+def _run_poisson(ply_path, out_dir):
+    """Optional external Poisson meshing (`src/main.cpp:1406-1458` shells
+    out to PoissonRecon + SurfaceTrimmer); gated on binary presence."""
+    import shutil
+    import subprocess
+
+    exe = shutil.which("PoissonRecon")
+    if exe is None:
+        print("[poisson] PoissonRecon binary not found; skipping")
+        return
+    mesh = os.path.join(out_dir, "poisson_mesh.ply")
+    subprocess.run([exe, "--in", ply_path, "--out", mesh, "--depth", "9"], check=False)
+    trim = shutil.which("SurfaceTrimmer")
+    if trim and os.path.exists(mesh):
+        subprocess.run(
+            [trim, "--in", mesh, "--out",
+             os.path.join(out_dir, "poisson_trimmed.ply"), "--trim", "7"],
+            check=False,
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Feature frontend: batched SuperPoint (or ORB fallback) over frame stacks.
+
+The reference extracts features frame-by-frame on the SLAM thread through
+ONNX Runtime (`/root/reference/src/FeatureExtractor.cpp:49-118`) with a
+binary replay cache for determinism (`:262-381`). Here extraction is a
+jitted batch program: frames are stacked into (B, H, W, 1) chunks that
+saturate the MXU, keypoint depth is sampled from the depth map at the
+detected corners (reference does the nearest-pixel read in the 3D-3D
+path, `src/Slam.cpp:243-246`), and the same SPCF/npz cache formats are
+supported for deterministic replay.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.core.state import FrameFeatures
+from vslam_tpu.models import superpoint as sp
+from vslam_tpu.ops import nms
+
+
+class SuperPointFrontend:
+    """Batched SuperPoint extractor bound to a config + params."""
+
+    def __init__(self, config: SlamConfig, params=None, key=None):
+        self.config = config
+        if params is None:
+            from vslam_tpu.models import weights
+
+            params, src = weights.load_or_init_superpoint(
+                key or jax.random.PRNGKey(0),
+                height=config.camera.height,
+                width=config.camera.width,
+            )
+            self.weight_source = src
+        else:
+            self.weight_source = "provided"
+        self.params = params
+        self.model = sp.SuperPoint()
+        fc = config.frontend
+
+        @jax.jit
+        def _extract(params, images):
+            semi, desc_c = self.model.apply(params, images)
+            kps, desc = nms.extract_keypoints(
+                semi,
+                desc_c,
+                max_keypoints=fc.max_keypoints,
+                radius=fc.sp_nms_radius,
+                conf=fc.sp_confidence_threshold,
+            )
+            return kps.xy, kps.score, kps.valid, desc
+
+        self._extract = _extract
+
+    def extract(self, gray_batch: np.ndarray):
+        """(B, H, W) uint8/float grayscale -> (xy, score, valid, desc)."""
+        img = jnp.asarray(gray_batch, jnp.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        img = img[..., None]
+        img, _ = sp.pad_to_multiple(img)
+        return self._extract(self.params, img)
+
+
+def sample_depth_at_keypoints(depth_maps, kp_xy):
+    """Nearest-pixel depth lookup per keypoint (`src/Slam.cpp:243-246`).
+
+    depth_maps: (B, H, W) meters; kp_xy (B, K, 2). Returns (B, K)."""
+    B, H, W = depth_maps.shape
+    u = jnp.clip(jnp.round(kp_xy[..., 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(kp_xy[..., 1]).astype(jnp.int32), 0, H - 1)
+    return jax.vmap(lambda d, vv, uu: d[vv, uu])(depth_maps, v, u)
+
+
+def extract_sequence(
+    frontend: SuperPointFrontend,
+    gray_frames: np.ndarray,
+    depth_frames: Optional[np.ndarray],
+    timestamps: np.ndarray,
+    stationary: Optional[np.ndarray] = None,
+    batch: Optional[int] = None,
+    cache_path: Optional[str] = None,
+) -> FrameFeatures:
+    """Run the frontend over a whole sequence -> stacked FrameFeatures.
+
+    If `cache_path` exists it is replayed instead of running inference
+    (the reference's sp_cache.bin behavior, `src/main.cpp:1048-1051`);
+    otherwise features are extracted and saved there (when given).
+    """
+    import os
+
+    from vslam_tpu.io import feature_cache as fc
+
+    cfg = frontend.config
+    N = gray_frames.shape[0]
+    K = cfg.frontend.max_keypoints
+    D = cfg.frontend.descriptor_dim
+
+    if cache_path and os.path.exists(cache_path):
+        if cache_path.endswith(".npz"):
+            xy, score, desc, valid, _ = fc.load_npz(cache_path)
+        else:
+            xy, score, desc, valid, _ = fc.to_padded(
+                fc.load_spcf(cache_path), K, D
+            )
+    else:
+        B = batch or cfg.runtime.inference_batch
+        xs, ss, vs, ds = [], [], [], []
+        for i in range(0, N, B):
+            chunk = gray_frames[i : i + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+            cxy, cs, cv, cd = frontend.extract(chunk)
+            n = B - pad
+            xs.append(np.asarray(cxy)[:n])
+            ss.append(np.asarray(cs)[:n])
+            vs.append(np.asarray(cv)[:n])
+            ds.append(np.asarray(cd)[:n])
+        xy = np.concatenate(xs)
+        score = np.concatenate(ss)
+        valid = np.concatenate(vs)
+        desc = np.concatenate(ds)
+        if cache_path:
+            if cache_path.endswith(".npz"):
+                fc.save_npz(cache_path, xy, score, desc, valid)
+            else:
+                fc.save_spcf(cache_path, fc.from_padded(xy, score, desc, valid))
+
+    if depth_frames is not None:
+        depth = np.asarray(
+            sample_depth_at_keypoints(jnp.asarray(depth_frames), jnp.asarray(xy))
+        )
+    else:
+        depth = np.zeros((N, K), np.float32)
+
+    if stationary is None:
+        stationary = np.zeros(N, bool)
+
+    return FrameFeatures(
+        xy=jnp.asarray(xy),
+        desc=jnp.asarray(desc),
+        depth=jnp.asarray(depth),
+        valid=jnp.asarray(valid),
+        timestamp=jnp.asarray(timestamps, jnp.float32),
+        stationary=jnp.asarray(stationary),
+        frame_id=jnp.arange(N, dtype=jnp.int32),
+    )

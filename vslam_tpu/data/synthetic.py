@@ -50,6 +50,35 @@ class SyntheticSequence:
     height: int
 
 
+def make_room_world(rng, num_landmarks=4000, desc_dim=256, floor_y=1.5, wall_dist=8.0):
+    """Landmarks ON the analytic room surfaces (floor + 4 walls), so that
+    `render_depth_room` depth maps are geometrically consistent with the
+    landmark observations — required for image+depth end-to-end runs."""
+    P = num_landmarks
+    plane = rng.integers(0, 5, P)
+    u = rng.uniform(-wall_dist, wall_dist, P)
+    v = rng.uniform(-wall_dist, wall_dist, P)
+    ys = rng.uniform(-2.0, floor_y - 0.05, P)
+    pts = np.zeros((P, 3), np.float32)
+    # floor
+    m = plane == 0
+    pts[m] = np.stack([u[m], np.full(m.sum(), floor_y), v[m]], -1)
+    # +x / -x walls
+    m = plane == 1
+    pts[m] = np.stack([np.full(m.sum(), wall_dist), ys[m], v[m]], -1)
+    m = plane == 2
+    pts[m] = np.stack([np.full(m.sum(), -wall_dist), ys[m], v[m]], -1)
+    # +z / -z walls
+    m = plane == 3
+    pts[m] = np.stack([u[m], ys[m], np.full(m.sum(), wall_dist)], -1)
+    m = plane == 4
+    pts[m] = np.stack([u[m], ys[m], np.full(m.sum(), -wall_dist)], -1)
+    pts = pts.astype(np.float32) * 0.999  # just inside the surfaces
+    desc = rng.normal(size=(P, desc_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    return SyntheticWorld(pts, desc, rng.random(P).astype(np.float32))
+
+
 def make_world(rng, num_landmarks=4000, desc_dim=256, extent=(12.0, 2.5, 12.0)):
     """Landmarks in a box around the trajectory; floor-ish band included."""
     P = num_landmarks
@@ -209,6 +238,128 @@ def make_sequence(
         accel=accel, world=world,
         fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
     )
+
+
+def make_room_sequence(num_frames=40, seed=0, **kw):
+    """Like make_sequence but with landmarks on the analytic room surfaces
+    and a trajectory inside the room — depth maps rendered by
+    `render_depth_room` agree with landmark observations."""
+    defaults = dict(
+        max_keypoints=400, desc_dim=256, fx=525.0, fy=525.0, cx=319.5,
+        cy=239.5, width=640, height=480, dt=0.1, pixel_noise=0.3,
+        desc_noise=0.02, depth_noise=0.0, num_landmarks=4000,
+    )
+    defaults.update(kw)
+    kw = defaults
+    rng = np.random.default_rng(seed)
+    world = make_room_world(
+        rng, num_landmarks=kw["num_landmarks"], desc_dim=kw["desc_dim"]
+    )
+    ts, R, t = make_trajectory(num_frames, dt=kw["dt"], radius=3.0)
+
+    obs = [
+        observe(
+            world, R[i], t[i], kw["fx"], kw["fy"], kw["cx"], kw["cy"],
+            kw["width"], kw["height"], max_keypoints=kw["max_keypoints"],
+            rng=rng, pixel_noise=kw["pixel_noise"], desc_noise=kw["desc_noise"],
+            depth_noise=kw["depth_noise"],
+        )
+        for i in range(num_frames)
+    ]
+    g_world = np.array([0.0, 9.81, 0.0])
+    vel = np.gradient(t, axis=0) / kw["dt"]
+    speed = np.linalg.norm(vel, axis=-1)
+    acc_rows = []
+    for i in range(num_frames):
+        sigma = 0.03 + 1.2 * speed[i]
+        for j in range(10):
+            tau = ts[i] + (j / 10) * kw["dt"]
+            a_cam = R[i].T @ g_world + rng.normal(0, sigma, 3)
+            acc_rows.append([tau, *a_cam])
+
+    return SyntheticSequence(
+        timestamps=ts, R=R, t=t,
+        kp_xy=np.stack([o[0] for o in obs]),
+        kp_desc=np.stack([o[1] for o in obs]),
+        kp_depth=np.stack([o[2] for o in obs]),
+        kp_valid=np.stack([o[3] for o in obs]),
+        kp_landmark=np.stack([o[4] for o in obs]),
+        accel=np.asarray(acc_rows), world=world,
+        fx=kw["fx"], fy=kw["fy"], cx=kw["cx"], cy=kw["cy"],
+        width=kw["width"], height=kw["height"],
+    )
+
+
+def write_tum_sequence(out_dir, seq: SyntheticSequence, write_cache=None):
+    """Materialize a synthetic sequence as a TUM-format dataset directory:
+    rgb/ + depth/ 16-bit PNGs, rgb.txt/depth.txt/associations.txt,
+    groundtruth.txt (quaternions), accelerometer.txt — byte-compatible
+    with the reference's loaders. Optionally writes a feature cache (.npz
+    or SPCF .bin) replaying the synthetic observations (the reference's
+    deterministic sp_cache.bin mode)."""
+    import os
+
+    import cv2
+
+    from vslam_tpu.io import feature_cache as fc
+    from vslam_tpu.ops import se3 as se3_ops
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, assoc = [], [], []
+    N = len(seq.timestamps)
+    for i in range(N):
+        ts = seq.timestamps[i]
+        depth = render_depth_room(
+            seq.R[i].astype(np.float64), seq.t[i].astype(np.float64),
+            seq.fx, seq.fy, seq.cx, seq.cy, seq.width, seq.height,
+        )
+        img = render_gray(seq.world, seq.R[i], seq.t[i], seq.fx, seq.fy,
+                          seq.cx, seq.cy, seq.width, seq.height)
+        rp, dp = f"rgb/{ts:.6f}.png", f"depth/{ts:.6f}.png"
+        cv2.imwrite(os.path.join(out_dir, rp),
+                    (np.stack([img] * 3, -1) * 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(out_dir, dp),
+                    np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
+        rgb_lines.append(f"{ts:.6f} {rp}")
+        depth_lines.append(f"{ts:.6f} {dp}")
+        assoc.append(f"{ts:.6f} {rp} {ts:.6f} {dp}")
+
+    with open(os.path.join(out_dir, "rgb.txt"), "w") as f:
+        f.write("# color images\n" + "\n".join(rgb_lines) + "\n")
+    with open(os.path.join(out_dir, "depth.txt"), "w") as f:
+        f.write("# depth images\n" + "\n".join(depth_lines) + "\n")
+    with open(os.path.join(out_dir, "associations.txt"), "w") as f:
+        f.write("\n".join(assoc) + "\n")
+
+    q = np.asarray(se3_ops.quat_from_matrix(jnp.asarray(seq.R.astype(np.float32))))
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write("# ground truth trajectory\n")
+        for i in range(N):
+            t = seq.t[i]
+            f.write(
+                f"{seq.timestamps[i]:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                f"{q[i, 0]:.6f} {q[i, 1]:.6f} {q[i, 2]:.6f} {q[i, 3]:.6f}\n"
+            )
+    with open(os.path.join(out_dir, "accelerometer.txt"), "w") as f:
+        f.write("# accelerometer data\n")
+        for row in seq.accel:
+            f.write(f"{row[0]:.6f} {row[1]:.6f} {row[2]:.6f} {row[3]:.6f}\n")
+
+    if write_cache:
+        if write_cache.endswith(".npz"):
+            fc.save_npz(
+                os.path.join(out_dir, write_cache),
+                seq.kp_xy, np.ones(seq.kp_xy.shape[:2], np.float32),
+                seq.kp_desc, seq.kp_valid,
+            )
+        else:
+            cache = fc.from_padded(
+                seq.kp_xy, np.ones(seq.kp_xy.shape[:2], np.float32),
+                seq.kp_desc, seq.kp_valid,
+            )
+            fc.save_spcf(os.path.join(out_dir, write_cache), cache)
 
 
 # ---------------------------------------------------------------------------
