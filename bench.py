@@ -59,42 +59,50 @@ def main():
     c = cfg.camera
 
     # ---------------- Frontend: SuperPoint forward + decode ----------------
-    # Timing methodology: the axon relay's block_until_ready does NOT wait
-    # for execution, so iterations are CHAINED through a scalar data
-    # dependency and completion is forced by a final host readback. This
-    # measures steady-state pipelined throughput — what a production frame
-    # loop achieves.
+    # Timing methodology: dispatch through the axon relay costs ~50 ms RTT
+    # and its block_until_ready does not truly synchronize, so the
+    # production-shaped measurement is a SINGLE jitted program that scans
+    # the frontend over all frame chunks on device, with one host readback
+    # forcing completion. (A per-batch Python loop would measure relay
+    # latency, not TPU throughput.)
     sp_fps = float("inf")
     if not args.no_frontend:
         params = sp.init_params(jax.random.PRNGKey(0), height=c.height, width=c.width)
         model = sp.SuperPoint()
+        n_chunks = max(n_frames // sp_batch, 1)
 
         @jax.jit
-        def frontend(params, images, chain):
-            semi, desc_c = model.apply(params, images + 0.0 * chain)
-            kps, desc = nms.extract_keypoints(
-                semi, desc_c, max_keypoints=cfg.frontend.max_keypoints,
-                radius=cfg.frontend.sp_nms_radius,
-                conf=cfg.frontend.sp_confidence_threshold,
-            )
-            chain_out = jnp.sum(kps.score) + jnp.sum(desc) * 1e-6
-            return kps.xy, kps.score, kps.valid, desc, chain_out
+        def frontend_sequence(params, chunks, chain):
+            """chunks: (C, B, H, W, 1) -> scan frontend over chunks."""
 
-        images = jnp.asarray(
-            np.random.default_rng(0).random((sp_batch, c.height, c.width, 1)),
+            def step(carry, images):
+                semi, desc_c = model.apply(params, images + 0.0 * carry)
+                kps, desc = nms.extract_keypoints(
+                    semi, desc_c, max_keypoints=cfg.frontend.max_keypoints,
+                    radius=cfg.frontend.sp_nms_radius,
+                    conf=cfg.frontend.sp_confidence_threshold,
+                )
+                checksum = jnp.sum(kps.score) + jnp.sum(desc) * 1e-6
+                return checksum, (kps.xy, kps.score, kps.valid)
+
+            chain_out, outs = jax.lax.scan(step, chain, chunks)
+            return chain_out, outs
+
+        chunks = jnp.asarray(
+            np.random.default_rng(0).random(
+                (n_chunks, sp_batch, c.height, c.width, 1)
+            ),
             jnp.float32,
         )
         chain = jnp.asarray(0.0, jnp.float32)
-        out = frontend(params, images, chain)
-        float(out[-1])  # warm + force completion
+        ch, _ = frontend_sequence(params, chunks, chain)
+        float(ch)  # warm + force completion
         t0 = time.perf_counter()
-        ch = chain
         for _ in range(sp_iters):
-            out = frontend(params, images, ch)
-            ch = out[-1] * 0.0
-        float(out[-1])
+            ch, _ = frontend_sequence(params, chunks, ch * 0.0)
+        float(ch)
         dt_sp = (time.perf_counter() - t0) / sp_iters
-        sp_fps = sp_batch / dt_sp
+        sp_fps = n_chunks * sp_batch / dt_sp
 
     # ---------------- Tracking scan ----------------
     seq = synthetic.make_sequence(

@@ -89,3 +89,20 @@ def test_recovery_from_feature_dropout():
     assert np.isfinite(result.t_smoothed).all()
     # recovers to reasonable accuracy afterwards
     assert ate_res.rmse < 0.25
+
+
+def test_monocular_mode():
+    """Mono mode (`src/Slam.cpp:966-984`): Essential-matrix pose + depth-
+    derived scale (reference: MiDaS/Kinect depth feeds the scale solve
+    while 3D-3D is disabled)."""
+    import dataclasses
+
+    cfg, seq = make_tiny_seq(num_frames=24)
+    cfg = dataclasses.replace(cfg, rgbd=False)
+    result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    outs = result.outputs
+    # 3D-3D path must never fire
+    assert int(np.asarray(outs.used_3d3d).sum()) == 0
+    assert float(np.asarray(outs.tracking_ok)[1:].mean()) > 0.7
+    # Scale from depth keeps the trajectory metric to ~10 cm on this arc
+    assert ate_res.rmse < 0.15, ate_res
