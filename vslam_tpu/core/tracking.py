@@ -114,7 +114,15 @@ def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, 
 
 def _match_to_keyframe(state: TrackState, frame: FrameFeatures, config: SlamConfig, key):
     """Descriptor match + fundamental RANSAC gate
-    (`src/Slam.cpp:841, 879-910`)."""
+    (`src/Slam.cpp:841, 879-910`).
+
+    The F-gate runs lazily: the 3D-3D RANSAC is itself robust, so on the
+    RGB-D fast path the gate would only redo work (at ~1 ms/frame).
+    It is applied inside the Essential fallback branch instead
+    (`_estimate_motion`), which is the path the reference's gate protects
+    (`src/Slam.cpp:879-910`); triangulation keeps its own 3 px
+    reprojection gates.
+    """
     m = matching.knn2_ratio_match(
         state.kf_desc,
         frame.desc,
@@ -126,17 +134,7 @@ def _match_to_keyframe(state: TrackState, frame: FrameFeatures, config: SlamConf
     uv_kf = state.kf_xy
     uv_cur = frame.xy[m.idx]
     n_raw = jnp.sum(m.valid)
-    enough = n_raw >= 8
-    F, fres = rs.ransac_fundamental(
-        key,
-        uv_kf,
-        uv_cur,
-        m.valid,
-        num_hypotheses=config.motion.fm_ransac_iters,
-        threshold_px=config.motion.fm_ransac_threshold_px,
-    )
-    gated = jnp.where(enough & fres.ok, m.valid & fres.inlier_mask, m.valid)
-    return m, uv_kf, uv_cur, gated, n_raw
+    return m, uv_kf, uv_cur, m.valid, n_raw
 
 
 def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
@@ -176,9 +174,18 @@ def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
     def essential_branch():
         """Essential fallback + depth-derived scale — only executed when
         the 3D-3D path fails (`src/Slam.cpp:966-984`); a lax.cond so the
-        expensive 8-point RANSAC is skipped on healthy RGB-D frames."""
+        expensive 8-point RANSAC is skipped on healthy RGB-D frames.
+        The fundamental gate (`src/Slam.cpp:879-910`) runs here first —
+        this is the path it protects."""
+        kf1, kf2 = jax.random.split(k2)
+        _, fres = rs.ransac_fundamental(
+            kf1, uv_kf, uv_cur, gated,
+            num_hypotheses=mc.fm_ransac_iters,
+            threshold_px=mc.fm_ransac_threshold_px,
+        )
+        gated_f = jnp.where(fres.ok, gated & fres.inlier_mask, gated)
         Re, te, E, rese = rs.ransac_essential(
-            k2, uv_kf, uv_cur, gated, fx, fy, cx, cy,
+            kf2, uv_kf, uv_cur, gated_f, fx, fy, cx, cy,
             num_hypotheses=mc.em_ransac_iters,
             threshold_px=mc.em_ransac_threshold_px,
             min_inliers=config.frontend.min_inliers,
