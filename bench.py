@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
     ap.add_argument("--frames", type=int, default=0, help="tracked frames (0 = default)")
     ap.add_argument("--no-frontend", action="store_true", help="skip SuperPoint timing")
+    ap.add_argument(
+        "--multi", type=int, default=0,
+        help="ALSO measure batched multi-sequence tracking (B sequences "
+        "vmapped on this chip — the production throughput configuration)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -141,6 +146,37 @@ def main():
     dt_track = (time.perf_counter() - t0) / iters
     track_fps = n_frames / dt_track
 
+    # ---------------- Batched multi-sequence tracking ----------------
+    multi_fps = None
+    if args.multi:
+        from vslam_tpu.parallel import mesh as pmesh
+
+        B = args.multi
+        seqs = [
+            synthetic.make_sequence(
+                num_frames=n_frames,
+                max_keypoints=cfg.frontend.max_keypoints,
+                desc_dim=cfg.frontend.descriptor_dim,
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+                width=c.width, height=c.height,
+                seed=s, num_landmarks=n_landmarks,
+            )
+            for s in range(B)
+        ]
+        mframes = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[pipeline.features_from_synthetic(s) for s in seqs],
+        )
+        mstates = pmesh.replicate_state(cfg, B)
+        fs, outs = pmesh.batched_tracking_scan(mstates, mframes, cfg)
+        float(jnp.sum(outs.t))  # warm + complete
+        t0 = time.perf_counter()
+        for _ in range(2):
+            fs, outs = pmesh.batched_tracking_scan(mstates, mframes, cfg)
+            float(jnp.sum(outs.t))
+        dt_multi = (time.perf_counter() - t0) / 2
+        multi_fps = B * n_frames / dt_multi
+
     # ---------------- ATE oracle ----------------
     from vslam_tpu.eval import ate as ate_mod
 
@@ -161,6 +197,7 @@ def main():
                     "device": str(dev),
                     "frontend_fps": None if args.no_frontend else round(sp_fps, 2),
                     "tracking_fps": round(track_fps, 2),
+                    "multi_seq_tracking_fps": None if multi_fps is None else round(multi_fps, 2),
                     "frames": n_frames,
                     "ate_rmse_synthetic_m": round(ate_res.rmse, 4),
                 },

@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 
 from vslam_tpu.io import feature_cache as fc
@@ -86,3 +87,37 @@ def test_padded_conversion(rng):
     assert xy.shape == (2, 8, 2) and valid.sum() == 8
     back = fc.from_padded(xy, score, desc, valid, ids)
     np.testing.assert_allclose(back[1].desc, cache[1].desc, atol=1e-6)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Resume mid-sequence from a checkpoint: identical trajectory tail."""
+    from vslam_tpu.config import tiny_test_config
+    from vslam_tpu.core import pipeline
+    from vslam_tpu.data import synthetic
+    from vslam_tpu.io import checkpoint as ckpt
+
+    cfg = tiny_test_config()
+    c = cfg.camera
+    seq = synthetic.make_sequence(
+        num_frames=16, max_keypoints=cfg.frontend.max_keypoints,
+        desc_dim=cfg.frontend.descriptor_dim,
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
+        seed=3, num_landmarks=800,
+    )
+    frames = pipeline.features_from_synthetic(seq)
+
+    # Full run
+    full = pipeline.run_tracking(frames, cfg, smooth=False)
+
+    # Split run: first 8 frames, checkpoint, resume for the rest
+    first = jax.tree.map(lambda a: a[:8], frames)
+    second = jax.tree.map(lambda a: a[8:], frames)
+    r1 = pipeline.run_tracking(first, cfg, smooth=False)
+    p = tmp_path / "state.npz"
+    ckpt.save_state(p, r1.final_state, {"frames_done": 8})
+    restored, meta = ckpt.load_state(p, cfg)
+    assert meta["frames_done"] == 8
+    r2 = pipeline.run_tracking(second, cfg, state=restored, smooth=False)
+
+    np.testing.assert_allclose(r2.t, full.t[8:], atol=1e-4)
+
