@@ -106,3 +106,38 @@ def test_monocular_mode():
     assert float(np.asarray(outs.tracking_ok)[1:].mean()) > 0.7
     # Scale from depth keeps the trajectory metric to ~10 cm on this arc
     assert ate_res.rmse < 0.15, ate_res
+
+
+def test_loop_closure_constraints_and_pgo():
+    """Loop detection accumulates sane constraints and PGO consumes them
+    without damaging a healthy trajectory (`src/Slam.cpp:730-798`)."""
+    import dataclasses
+
+    from vslam_tpu.config import LoopClosureConfig
+    from vslam_tpu.eval import ate as ate_mod
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(cfg, loop=LoopClosureConfig(
+        min_frame_gap=12, min_inliers=10, check_interval_kfs=2,
+        max_jump=1.0, min_jump=-1.0, nearby_frame_range=100, kf_stride=1))
+    c = cfg.camera
+    seq = synthetic.make_sequence(
+        num_frames=40, max_keypoints=cfg.frontend.max_keypoints,
+        desc_dim=cfg.frontend.descriptor_dim,
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
+        seed=5, num_landmarks=1500, dt=0.1,
+    )
+    result, ate0 = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    st = result.final_state
+    loops_v = np.asarray(st.loops.valid)
+    assert loops_v.sum() >= 2, "loop closures should fire with relaxed gates"
+    # constraints reference valid existing keyframe slots
+    kf_valid = np.asarray(st.keyframes.valid)
+    for a, b, v in zip(np.asarray(st.loops.kf_from), np.asarray(st.loops.kf_to), loops_v):
+        if v:
+            assert kf_valid[a] and kf_valid[b]
+            assert a != b
+    r2 = pipeline.run_posthoc_pgo(result, cfg)
+    a2 = ate_mod.compute_ate(r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t,
+                             with_scale=False)
+    assert a2.rmse < ate0.rmse * 1.5 + 5e-3

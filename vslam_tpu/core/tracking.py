@@ -549,7 +549,9 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     loops = st.loops
     cursor = jnp.sum(loops.valid)
     L = loops.valid.shape[0]
-    cur_slot = jnp.mod(st.kf_count, KFC).astype(jnp.int32)
+    # Called after _make_keyframe incremented kf_count: the current
+    # keyframe's slot is kf_count - 1.
+    cur_slot = jnp.mod(st.kf_count - 1, KFC).astype(jnp.int32)
     write = accept & (cursor < L)
     idx = jnp.where(write, cursor, L - 1).astype(jnp.int32)
     loops = loops._replace(
