@@ -63,3 +63,32 @@ def test_batched_matches_single_sequence():
     np.testing.assert_allclose(
         np.asarray(outs.t)[0], single.t, atol=1e-4
     )
+
+
+def test_sharded_scan_matches_single():
+    """shard_map path (one unbatched scan per device) == single scans."""
+    cfg = tiny_test_config()
+    B, N = 8, 5
+    seqs, frames = _batch(cfg, B, N)
+    m = pmesh.make_mesh(8)
+    states = pmesh.shard_batched(pmesh.replicate_state(cfg, B), m)
+    framesb = pmesh.shard_batched(frames, m)
+    fs, outs = pmesh.sharded_tracking_scan(states, framesb, cfg, m)
+    assert outs.t.shape == (B, N, 3)
+
+    from vslam_tpu.core import pipeline
+    from vslam_tpu.core.pipeline import features_from_synthetic
+
+    single = pipeline.run_tracking(features_from_synthetic(seqs[3]), cfg, smooth=False)
+    np.testing.assert_allclose(np.asarray(outs.t)[3], single.t, atol=1e-5)
+
+
+def test_sharded_scan_rejects_mismatched_batch():
+    import pytest
+
+    cfg = tiny_test_config()
+    seqs, frames = _batch(cfg, 4, 5)
+    m = pmesh.make_mesh(8)
+    states = pmesh.replicate_state(cfg, 4)
+    with pytest.raises(ValueError):
+        pmesh.sharded_tracking_scan(states, frames, cfg, m)

@@ -100,6 +100,7 @@ class TrackState(NamedTuple):
     last_scale: jnp.ndarray  # () f32 — mono scale memory
     recovery_cooldown: jnp.ndarray  # () int32
     tracking_ok: jnp.ndarray  # () bool
+    was_stationary: jnp.ndarray  # () bool — previous frame stationary
 
     # Gravity / height prior (`src/Slam.cpp:1587-1616`)
     gravity: jnp.ndarray  # (3,)
@@ -195,6 +196,7 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         last_scale=jnp.asarray(config.motion.motion_scale, f32),
         recovery_cooldown=jnp.asarray(0, jnp.int32),
         tracking_ok=jnp.asarray(True),
+        was_stationary=jnp.asarray(False),
         gravity=jnp.asarray(gravity, f32),
         initial_height=jnp.asarray(initial_height, f32),
         has_height=jnp.asarray(has_g),

@@ -666,16 +666,31 @@ def tracking_step(
         )
         R_fin = R_ref
         t_fin = jnp.where(frame.stationary, st.t, t_ref)
-        # keep EKF position consistent with final pose
-        ekf_st = ekf_st._replace(x=ekf_st.x.at[:3].set(t_fin))
+        # keep EKF position consistent with final pose; stationary frames
+        # zero the velocity (`src/Slam.cpp:640-655`)
+        x_new = ekf_st.x.at[:3].set(t_fin)
+        x_new = jnp.where(frame.stationary, x_new.at[3:].set(0.0), x_new)
+        ekf_st = ekf_st._replace(x=x_new)
 
         # Keyframe policy (`src/Slam.cpp:1062-1070, 1359-1368`)
         gap = frame.frame_id - st.kf_frame_id
-        is_kf = (
+        is_kf_normal = (
             ((gap >= config.map.kf_min_frame_gap) & (n_matches >= config.map.kf_min_matches))
             | ((gap >= config.map.kf_proactive_min_gap)
                & (n_matches < config.map.kf_proactive_max_matches))
         ) & motion_ok & ~frame.stationary & ~recovered
+        # Stationary rotation-drift keyframe (`src/Slam.cpp:660-694`): the
+        # robot pans in place; register the rotation once it drifts enough.
+        rot_drift = jnp.linalg.norm(se3.log_so3(R_fin @ st.kf_R.T))
+        is_kf_rot = (
+            frame.stationary
+            & (rot_drift > config.ekf.stationary_kf_rot_drift)
+            & motion_ok
+        )
+        # Post-stationary promotion (`src/Slam.cpp:916-951`): first moving
+        # frame after a stationary stretch refreshes the reference KF.
+        is_kf_post = st.was_stationary & ~frame.stationary & motion_ok
+        is_kf = is_kf_normal | is_kf_rot | is_kf_post
 
         def kf_branch(s):
             s2 = _make_keyframe(s, frame, config, R_fin, t_fin, m, gated)
@@ -698,6 +713,7 @@ def tracking_step(
             last_time=frame.timestamp,
             last_scale=new_scale,
             tracking_ok=motion_ok | recovered,
+            was_stationary=frame.stationary,
             recovery_cooldown=jnp.where(
                 recovered,
                 jnp.asarray(config.pnp.recovery_cooldown_frames, jnp.int32),

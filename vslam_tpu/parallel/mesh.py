@@ -49,11 +49,13 @@ def shard_batched(tree, mesh: Mesh, axis="seq"):
 
 @functools.partial(jax.jit, static_argnames=("config", "seed"))
 def batched_tracking_scan(states: TrackState, frames: FrameFeatures, config: SlamConfig, seed: int = 42):
-    """vmap(scan(step)) over a sequence batch.
+    """vmap(scan(step)) over a sequence batch ON ONE DEVICE.
 
-    `frames` arrays have shape (B, N, ...); states (B, ...). With inputs
-    sharded over the mesh 'seq' axis, XLA partitions the whole scan per
-    device with zero cross-device traffic in the hot loop.
+    NOTE: under vmap every `lax.cond` in the step (loop closure, recovery,
+    Essential fallback, keyframe creation) executes BOTH branches for the
+    whole batch — convenient for small tests, but the efficient multi-
+    device path is `sharded_tracking_scan` below, which keeps one
+    unbatched scan (real conds) per device via shard_map.
     """
     step = make_scan_step(config, seed=seed)
 
@@ -61,6 +63,45 @@ def batched_tracking_scan(states: TrackState, frames: FrameFeatures, config: Sla
         return jax.lax.scan(step, state, seq_frames)
 
     return jax.vmap(one_seq)(states, frames)
+
+
+def sharded_tracking_scan(states: TrackState, frames: FrameFeatures,
+                          config: SlamConfig, mesh: Mesh, seed: int = 42,
+                          axis: str = "seq"):
+    """One sequence per device via shard_map: each device runs its own
+    UNBATCHED tracking scan, so data-dependent branches stay efficient
+    `lax.cond`s (unlike vmap, which lowers them to both-branch selects).
+
+    `states`/`frames` have leading batch dim == mesh size.
+    """
+    B = frames.timestamp.shape[0]
+    n_dev = mesh.devices.size
+    if B != n_dev:
+        raise ValueError(
+            f"sharded_tracking_scan needs batch == mesh size (got B={B}, "
+            f"mesh={n_dev}); use batched_tracking_scan for within-device batching"
+        )
+    step = make_scan_step(config, seed=seed)
+
+    def per_device(state_b, frames_b):
+        # Local shard has batch 1: squeeze, scan, re-expand.
+        state = jax.tree.map(lambda x: x[0], state_b)
+        seq = jax.tree.map(lambda x: x[0], frames_b)
+        fs, outs = jax.lax.scan(step, state, seq)
+        return (
+            jax.tree.map(lambda x: x[None], fs),
+            jax.tree.map(lambda x: x[None], outs),
+        )
+
+    specs_in = P(axis)
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(specs_in, specs_in),
+        out_specs=(specs_in, specs_in),
+        check_vma=False,
+    )
+    return fn(states, frames)
 
 
 def batched_diagnostics(outputs, mesh: Mesh, axis="seq"):
