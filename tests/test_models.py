@@ -86,3 +86,44 @@ def test_orb_detects_and_matches_synthetic():
     # matched displacement should be consistent (dominant x-shift)
     dx = np.asarray(xy2[m.idx][:, 0] - xy1[:, 0])[np.asarray(m.valid)]
     assert np.abs(np.median(dx)) >= 0.5  # ~f*0.05/z = 1-3 px expected shift
+
+
+def test_superpoint_pth_conversion(tmp_path):
+    """Converter maps a MagicLeap-layout state_dict onto our Flax params
+    (fabricated checkpoint — no real weights in this image)."""
+    import torch
+
+    from vslam_tpu.models import weights as w
+
+    shapes = {
+        "conv1a": (64, 1, 3, 3), "conv1b": (64, 64, 3, 3),
+        "conv2a": (64, 64, 3, 3), "conv2b": (64, 64, 3, 3),
+        "conv3a": (128, 64, 3, 3), "conv3b": (128, 128, 3, 3),
+        "conv4a": (128, 128, 3, 3), "conv4b": (128, 128, 3, 3),
+        "convPa": (256, 128, 3, 3), "convPb": (65, 256, 1, 1),
+        "convDa": (256, 128, 3, 3), "convDb": (256, 256, 1, 1),
+    }
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for name, s in shapes.items():
+        sd[f"{name}.weight"] = torch.randn(s, generator=g)
+        sd[f"{name}.bias"] = torch.randn(s[0], generator=g)
+    p = tmp_path / "superpoint_v1.pth"
+    torch.save(sd, p)
+
+    params = w.superpoint_params_from_pth(str(p))
+    # Converted params drive the flax model
+    from vslam_tpu.models import superpoint as sp
+
+    model = sp.SuperPoint()
+    img = jnp.asarray(np.random.default_rng(0).random((1, 64, 80, 1)), jnp.float32)
+    semi, desc = model.apply(params, img)
+    assert semi.shape == (1, 8, 10, 65)
+    assert desc.shape == (1, 8, 10, 256)
+    # kernel layout sanity: OIHW -> HWIO
+    kj = np.asarray(params["params"]["conv1a"]["kernel"])
+    kt = sd["conv1a.weight"].numpy()
+    np.testing.assert_allclose(kj[1, 2, 0, 5], kt[5, 0, 1, 2], atol=1e-6)
+    # load_or_init picks up the checkpoint from a search dir
+    params2, src = w.load_or_init_superpoint(search_dirs=(str(tmp_path),))
+    assert src.endswith("superpoint_v1.pth")

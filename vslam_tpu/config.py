@@ -73,7 +73,8 @@ class MotionConfig:
     fm_ransac_threshold_px: float = 3.0
 
     # 3D-3D RANSAC (Config.h:65-67)
-    r3d_iters: int = 256  # reference: 200 sequential; we batch
+    r3d_iters: int = 128  # reference: 200 sequential; batched refinement
+    # recovers precision, so 128 keeps miss-probability negligible
     r3d_inlier_thresh: float = 0.05
     r3d_max_translation: float = 0.2
     r3d_min_translation: float = 1e-4

@@ -24,17 +24,21 @@ from vslam_tpu.ops import kabsch as kb
 
 
 def sample_minimal_sets(key, valid, num_hypotheses, set_size):
-    """Sample `num_hypotheses` index sets of `set_size` distinct valid entries.
+    """Sample `num_hypotheses` index sets of `set_size` valid entries.
 
-    Gumbel-top-k over the validity mask: invalid entries get -inf priority,
-    so each hypothesis draws distinct valid indices (when enough exist).
+    Compaction + modular draw: valid indices are compacted to the front
+    (one argsort), then uniform ints mod n_valid pick entries. Duplicates
+    within a set are possible (~set_size^2 / 2n probability) and merely
+    waste that hypothesis — its degenerate solve loses the inlier argmax.
+    (A Gumbel-top-k guarantees distinctness but costs ~0.3 ms/call on TPU,
+    ~10% of the whole tracking step.)
     Returns (B, set_size) int32 indices.
     """
     n = valid.shape[-1]
-    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
-    scores = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, set_size)
-    return idx
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)  # valid first
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    u = jax.random.randint(key, (num_hypotheses, set_size), 0, n, dtype=jnp.int32)
+    return order[u % n_valid]
 
 
 class RansacResult(NamedTuple):
