@@ -141,3 +141,17 @@ def test_loop_closure_constraints_and_pgo():
     a2 = ate_mod.compute_ate(r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t,
                              with_scale=False)
     assert a2.rmse < ate0.rmse * 1.5 + 5e-3
+
+
+def test_windowed_ba_does_not_hurt():
+    """Activated local BA (C27) preserves/improves a healthy trajectory."""
+    from vslam_tpu.eval import ate as ate_mod
+
+    cfg, seq = make_tiny_seq(num_frames=24)
+    result, ate0 = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    r2 = pipeline.run_windowed_ba(result, cfg)
+    a2 = ate_mod.compute_ate(
+        r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t, with_scale=False
+    )
+    assert np.isfinite(a2.rmse)
+    assert a2.rmse < ate0.rmse * 1.5 + 5e-3, (ate0.rmse, a2.rmse)

@@ -227,6 +227,133 @@ def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial
     )
 
 
+def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int] = None):
+    """Post-hoc sliding-window bundle adjustment over the last-W keyframes
+    (activates the reference's disabled local BA capability, C27:
+    `Optimizer.cpp:187-599`, call site `Slam.cpp:699-725`).
+
+    Observations are rebuilt by projecting map points into each window
+    keyframe and radius-matching descriptors (the same association the
+    tracker uses). The refined keyframe poses are applied back to the
+    trajectory via the interpolation pass, gated by BA_MAX_JUMP
+    (`Config.h:100`).
+    """
+    import jax.numpy as jnp
+
+    from vslam_tpu.ops import ba as ba_ops
+    from vslam_tpu.ops import camera as cam
+    from vslam_tpu.ops import matching, pgo
+
+    st = result.final_state
+    kfs = st.keyframes
+    oc = config.opt
+    W = window or oc.ba_window_kfs
+    c = config.camera
+
+    kf_valid = np.asarray(kfs.valid)
+    slots = np.nonzero(kf_valid)[0]
+    if len(slots) < 3:
+        return result
+    # last W keyframes by frame id
+    order = np.argsort(np.asarray(kfs.frame_id)[slots])
+    slots = slots[order][-W:]
+    Wn = len(slots)
+
+    # Select map points: valid, enough observations
+    mp_valid = np.asarray(st.map.valid)
+    cand = np.nonzero(mp_valid)[0]
+    P = min(oc.ba_max_points, len(cand))
+    if P < 16:
+        return result
+    # prefer most-observed points
+    obs_count = np.asarray(st.map.num_obs)[cand]
+    cand = cand[np.argsort(-obs_count)][:P]
+
+    X = jnp.asarray(np.asarray(st.map.pos)[cand])
+    desc_pts = jnp.asarray(np.asarray(st.map.desc)[cand])
+
+    uv = np.zeros((Wn, P, 2), np.float32)
+    mask = np.zeros((Wn, P), bool)
+    for wi, s in enumerate(slots):
+        R = jnp.asarray(np.asarray(kfs.R)[s])
+        t = jnp.asarray(np.asarray(kfs.t)[s])
+        Rcw = R.T
+        tcw = -Rcw @ t
+        p_c = X @ Rcw.T + tcw
+        uv_proj, front = cam.project(p_c, c.fx, c.fy, c.cx, c.cy)
+        in_img = front & cam.in_image(uv_proj, c.width, c.height)
+        mp_idx, kp_ok, _ = matching.radius_descriptor_match(
+            jnp.asarray(np.asarray(kfs.desc)[s]),
+            jnp.asarray(np.asarray(kfs.xy)[s]),
+            jnp.asarray(np.asarray(kfs.kp_valid)[s]),
+            desc_pts, uv_proj, in_img,
+            radius_px=config.map.track_search_radius_px,
+            desc_thresh=config.map.track_desc_threshold,
+        )
+        # mp_idx: per-keypoint matched point (or -1)
+        mi = np.asarray(mp_idx)
+        ok = np.asarray(kp_ok)
+        kxy = np.asarray(kfs.xy)[s]
+        for k in np.nonzero(ok)[0]:
+            p_i = mi[k]
+            if p_i >= 0 and not mask[wi, p_i]:
+                mask[wi, p_i] = True
+                uv[wi, p_i] = kxy[k]
+
+    prob = ba_ops.BAProblem(
+        R=jnp.asarray(np.asarray(kfs.R)[slots]),
+        t=jnp.asarray(np.asarray(kfs.t)[slots]),
+        pose_valid=jnp.ones(Wn, dtype=bool),
+        X=X,
+        point_valid=jnp.asarray(mask.sum(0) >= 2),
+        uv=jnp.asarray(uv),
+        obs_valid=jnp.asarray(mask),
+        fx=jnp.asarray(c.fx), fy=jnp.asarray(c.fy),
+        cx=jnp.asarray(c.cx), cy=jnp.asarray(c.cy),
+    )
+    R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
+        prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
+    )
+
+    # Jump gate per keyframe (Config.h:100 BA_MAX_JUMP)
+    jump = np.linalg.norm(np.asarray(t_opt) - np.asarray(prob.t), axis=-1)
+    accept = jump < oc.ba_max_jump
+    R_new = np.asarray(kfs.R).copy()
+    t_new = np.asarray(kfs.t).copy()
+    for wi, s in enumerate(slots):
+        if accept[wi]:
+            R_new[s] = np.asarray(R_opt)[wi]
+            t_new[s] = np.asarray(t_opt)[wi]
+
+    frame_ids = jnp.arange(result.t.shape[0], dtype=jnp.float32)
+    _, t_corr = pgo.correct_trajectory(
+        frame_ids, jnp.asarray(result.R), jnp.asarray(result.t),
+        kfs.frame_id, kfs.valid, kfs.R, kfs.t,
+        jnp.asarray(R_new), jnp.asarray(t_new),
+    )
+    _, t_corr_s = pgo.correct_trajectory(
+        frame_ids, jnp.asarray(result.R), jnp.asarray(result.t_smoothed),
+        kfs.frame_id, kfs.valid, kfs.R, kfs.t,
+        jnp.asarray(R_new), jnp.asarray(t_new),
+    )
+    # write refined points back
+    pos_new = np.asarray(st.map.pos).copy()
+    pv = np.asarray(prob.point_valid)
+    pos_new[cand[pv]] = np.asarray(X_opt)[pv]
+
+    return RunResult(
+        timestamps=result.timestamps,
+        R=result.R,
+        t=np.asarray(t_corr),
+        t_smoothed=np.asarray(t_corr_s),
+        outputs=result.outputs,
+        final_state=st._replace(
+            map=st.map._replace(pos=jnp.asarray(pos_new)),
+            keyframes=kfs._replace(R=jnp.asarray(R_new), t=jnp.asarray(t_new)),
+        ),
+    )
+
+
 def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42, smooth=True):
     """End-to-end on a synthetic sequence: gravity init + stationarity +
     tracking + smoothing. Returns (RunResult, ate_result)."""
