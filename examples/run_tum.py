@@ -33,6 +33,9 @@ def main():
     ap.add_argument("dataset", help="TUM sequence directory")
     ap.add_argument("--out", default="out")
     ap.add_argument("--mono", action="store_true", help="monocular mode (ignore depth)")
+    ap.add_argument("--midas", action="store_true",
+                    help="in mono mode, fill depth from MiDaS for the scale chain "
+                    "(activates the reference's latent DepthEstimator, C7)")
     ap.add_argument("--frame-step", type=int, default=3)
     ap.add_argument("--cache", default=None, help="feature cache path (.npz or SPCF .bin)")
     ap.add_argument("--poisson", action="store_true", help="run external PoissonRecon if available")
@@ -91,12 +94,32 @@ def main():
         stationary = pipeline.detect_stationary(seq_meta.accel, stamps)
         print(f"[imu] gravity {gravity}, stationary frames: {int(stationary.sum())}")
 
+    # ---- MiDaS mono depth (reference C7, latent there; live here) ----
+    if args.mono and args.midas:
+        from vslam_tpu.models import midas as midas_mod
+
+        mp = midas_mod.init_params(jax.random.PRNGKey(7))
+        est = jax.jit(lambda p, im: midas_mod.estimate_depth(p, im))
+        t0 = time.perf_counter()
+        rel = []
+        for k in range(0, len(idxs), 8):
+            batch = np.stack(
+                [np.stack([g] * 3, -1) for g in grays[k : k + 8]]
+            ).astype(np.float32)
+            rel.append(np.asarray(est(mp, jnp.asarray(batch))))
+        rel = np.concatenate(rel)
+        # relative inverse depth -> pseudo-metric depth for the scale chain
+        depths = 3.0 / np.maximum(rel, 0.2)
+        print(f"[midas] relative depth for {len(idxs)} frames in "
+              f"{time.perf_counter() - t0:.1f}s")
+
     # ---- L2: frontend ----
     t0 = time.perf_counter()
     front = fe.SuperPointFrontend(cfg)
     print(f"[frontend] SuperPoint weights: {front.weight_source}")
     frames = fe.extract_sequence(
-        front, grays, depths, stamps, stationary=stationary, cache_path=args.cache
+        front, grays, depths, stamps, stationary=stationary,
+        cache_path=args.cache, frame_indices=np.asarray(idxs),
     )
     print(f"[frontend] features in {time.perf_counter() - t0:.1f}s")
 

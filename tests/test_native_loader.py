@@ -91,3 +91,34 @@ def test_tum_parser_loads_gt_and_accel(tum_dir):
     assert seq.gt is not None and seq.gt.shape == (4, 8)
     assert seq.accel is not None and seq.accel.shape == (8, 4)
     assert seq.frames[0].depth_path is not None
+
+
+def test_kitti_loader(tmp_path):
+    import cv2
+
+    from vslam_tpu.data import kitti
+
+    seq_dir = tmp_path / "sequences" / "07"
+    (seq_dir / "image_0").mkdir(parents=True)
+    (tmp_path / "poses").mkdir()
+    rng = np.random.default_rng(0)
+    n = 5
+    for i in range(n):
+        cv2.imwrite(str(seq_dir / "image_0" / f"{i:06d}.png"),
+                    rng.integers(0, 255, (40, 60), dtype=np.uint8))
+    (seq_dir / "times.txt").write_text("\n".join(f"{i * 0.1:.6f}" for i in range(n)))
+    (seq_dir / "calib.txt").write_text(
+        "P0: 700.0 0.0 30.0 0.0 0.0 700.0 20.0 0.0 0.0 0.0 1.0 0.0\n"
+    )
+    (tmp_path / "poses" / "07.txt").write_text(
+        "\n".join(
+            " ".join(str(v) for v in [1, 0, 0, 0.1 * i, 0, 1, 0, 0, 0, 0, 1, 0])
+            for i in range(n)
+        )
+    )
+    seq = kitti.load_sequence(str(seq_dir))
+    assert len(seq) == n
+    assert seq.fx == 700.0 and seq.cx == 30.0
+    assert seq.gt_t is not None and abs(seq.gt_t[3, 0] - 0.3) < 1e-6
+    img = kitti.load_gray(seq.image_paths[0])
+    assert img.shape == (40, 60)

@@ -87,12 +87,16 @@ def extract_sequence(
     stationary: Optional[np.ndarray] = None,
     batch: Optional[int] = None,
     cache_path: Optional[str] = None,
+    frame_indices: Optional[np.ndarray] = None,
 ) -> FrameFeatures:
     """Run the frontend over a whole sequence -> stacked FrameFeatures.
 
     If `cache_path` exists it is replayed instead of running inference
     (the reference's sp_cache.bin behavior, `src/main.cpp:1048-1051`);
     otherwise features are extracted and saved there (when given).
+    `frame_indices` are the dataset frame ids of `gray_frames` rows, used
+    to select cache entries when replaying a cache written at a different
+    frame step.
     """
     import os
 
@@ -105,11 +109,24 @@ def extract_sequence(
 
     if cache_path and os.path.exists(cache_path):
         if cache_path.endswith(".npz"):
-            xy, score, desc, valid, _ = fc.load_npz(cache_path)
+            xy, score, desc, valid, cache_ids = fc.load_npz(cache_path)
         else:
-            xy, score, desc, valid, _ = fc.to_padded(
+            xy, score, desc, valid, cache_ids = fc.to_padded(
                 fc.load_spcf(cache_path), K, D
             )
+        if xy.shape[0] != N:
+            if frame_indices is None:
+                raise ValueError(
+                    f"feature cache has {xy.shape[0]} frames but the run has "
+                    f"{N}; pass frame_indices to subselect (cache written at "
+                    f"a different --frame-step?)"
+                )
+            id_to_row = {int(fid): i for i, fid in enumerate(cache_ids)}
+            try:
+                rows = np.asarray([id_to_row[int(i)] for i in frame_indices])
+            except KeyError as e:
+                raise ValueError(f"frame {e} not present in feature cache")
+            xy, score, desc, valid = xy[rows], score[rows], desc[rows], valid[rows]
     else:
         B = batch or cfg.runtime.inference_batch
         xs, ss, vs, ds = [], [], [], []
