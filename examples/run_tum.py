@@ -55,7 +55,7 @@ def main():
     from vslam_tpu.data import loader as loader_mod, tum
     from vslam_tpu.eval import ate as ate_mod
     from vslam_tpu.io import ply, trajectory
-    from vslam_tpu.ops import ekf as ekf_ops, gridhash, pointcloud as pc
+    from vslam_tpu.ops import gridhash, pointcloud as pc
 
     os.makedirs(args.out, exist_ok=True)
     cfg = SlamConfig(rgbd=not args.mono)

@@ -67,7 +67,6 @@ def test_polar3x3(rng):
 
 def test_svd4x4_nullvec(rng):
     # Build rank-3 4x4 matrices with known null vector
-    from scipy.stats import ortho_group
 
     null = rng.normal(size=(8, 4)).astype(np.float32)
     null /= np.linalg.norm(null, axis=-1, keepdims=True)

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from vslam_tpu.config import tiny_test_config
 from vslam_tpu.core.pipeline import features_from_synthetic

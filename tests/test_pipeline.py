@@ -1,7 +1,6 @@
 """End-to-end tracking pipeline on synthetic sequences with exact ground truth."""
 
 import numpy as np
-import pytest
 
 from vslam_tpu.config import tiny_test_config
 from vslam_tpu.core import pipeline

@@ -1,7 +1,6 @@
 """SuperPoint self-supervised training: loss decreases, detector learns."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from vslam_tpu.models import train_superpoint as tsp

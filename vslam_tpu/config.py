@@ -11,7 +11,6 @@ fixed-shape with validity masks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

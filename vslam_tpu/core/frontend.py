@@ -12,7 +12,6 @@ supported for deterministic replay.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

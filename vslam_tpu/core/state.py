@@ -138,6 +138,10 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
     KFC = config.map.keyframe_capacity
     L = config.opt.max_loop_constraints
     f32 = jnp.float32
+    # Descriptors are stored bf16: they only feed relative-comparison
+    # matmuls (ratio/threshold tests), and halving the carried map +
+    # keyframe-ring bytes cuts per-frame HBM traffic in the scan.
+    fdesc = jnp.bfloat16
 
     if R0 is None:
         R0 = jnp.eye(3, dtype=f32)
@@ -157,7 +161,7 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
             last_time=jnp.asarray(0.0, f32),
         ),
         kf_xy=jnp.zeros((K, 2), f32),
-        kf_desc=jnp.zeros((K, D), f32),
+        kf_desc=jnp.zeros((K, D), fdesc),
         kf_depth=jnp.zeros(K, f32),
         kf_valid=jnp.zeros(K, bool),
         kf_R=jnp.asarray(R0, f32),
@@ -166,7 +170,7 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         kf_map_idx=jnp.full(K, -1, jnp.int32),
         keyframes=KeyframeStore(
             xy=jnp.zeros((KFC, K, 2), f32),
-            desc=jnp.zeros((KFC, K, D), f32),
+            desc=jnp.zeros((KFC, K, D), fdesc),
             depth=jnp.zeros((KFC, K), f32),
             kp_valid=jnp.zeros((KFC, K), bool),
             R=jnp.tile(jnp.eye(3, dtype=f32), (KFC, 1, 1)),
@@ -176,7 +180,7 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         ),
         map=MapStore(
             pos=jnp.zeros((M, 3), f32),
-            desc=jnp.zeros((M, D), f32),
+            desc=jnp.zeros((M, D), fdesc),
             valid=jnp.zeros(M, bool),
             visible=jnp.zeros(M, jnp.int32),
             found=jnp.zeros(M, jnp.int32),

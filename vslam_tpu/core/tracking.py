@@ -14,7 +14,6 @@ MXU across frames while this cheap sequential state machine scans.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -73,6 +72,7 @@ def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, 
     """
     M = map_store.valid.shape[0]
     K = new_valid.shape[0]
+    new_desc = new_desc.astype(map_store.desc.dtype)
     free = ~map_store.valid
     free_rank = jnp.cumsum(free) - 1  # (M,) rank among free slots
     n_new = jnp.sum(new_valid)
@@ -578,6 +578,10 @@ def tracking_step(
     (descriptor matmuls lose a little speed; correctness wins).
     """
     k_match, k_motion, k_pnp, k_recover, k_loop = jax.random.split(key, 5)
+
+    # Descriptors are stored/matched in bf16 (see core.state.init_state);
+    # cast the incoming frame's once so every consumer agrees on dtype.
+    frame = frame._replace(desc=frame.desc.astype(state.kf_desc.dtype))
 
     def bootstrap(st: TrackState):
         """First frame: become the first keyframe at the initial pose

@@ -28,7 +28,15 @@ _FORMAT_VERSION = 1
 def save_state(path: str, state: TrackState, metadata: Optional[dict] = None):
     """Snapshot a TrackState pytree (+ JSON metadata) to one npz file."""
     leaves, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+    def to_np(x):
+        # npz cannot store bfloat16; widen to f32 (load_state casts back
+        # to the template dtype).
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        return np.asarray(x)
+
+    arrays = {f"leaf_{i}": to_np(x) for i, x in enumerate(leaves)}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(
             {

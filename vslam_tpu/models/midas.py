@@ -19,7 +19,7 @@ output head. Weight conversion from the timm/torch checkpoint drops into
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 CELL = 8  # decoder cell size: H/8 x W/8 grid, 64 pixels + dustbin channel

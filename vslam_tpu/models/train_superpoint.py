@@ -19,7 +19,6 @@ weights in environments without checkpoints.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
