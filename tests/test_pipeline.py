@@ -154,3 +154,16 @@ def test_windowed_ba_does_not_hurt():
     )
     assert np.isfinite(a2.rmse)
     assert a2.rmse < ate0.rmse * 1.5 + 5e-3, (ate0.rmse, a2.rmse)
+
+
+def test_seed_robustness():
+    """Five different worlds/noise draws: tracking never degrades badly
+    (guards against RANSAC/matching flakiness)."""
+    rmses = []
+    for seed in range(5):
+        cfg, seq = make_tiny_seq(num_frames=16, seed=seed)
+        _, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+        rmses.append(ate_res.rmse)
+    assert all(np.isfinite(r) for r in rmses), rmses
+    assert max(rmses) < 0.08, rmses
+    assert np.median(rmses) < 0.03, rmses
