@@ -167,3 +167,54 @@ def test_seed_robustness():
     assert all(np.isfinite(r) for r in rmses), rmses
     assert max(rmses) < 0.08, rmses
     assert np.median(rmses) < 0.03, rmses
+
+
+def test_bridge_keyframe_on_fast_rotation():
+    """Fast pan with proactive keyframes disabled: matching vs the stale
+    keyframe collapses, the bridge promotes the previous frame
+    (`src/Slam.cpp:847-872`) and tracking survives."""
+    import dataclasses
+
+    from vslam_tpu.data.synthetic import make_trajectory
+
+    cfg, seq = make_tiny_seq(num_frames=20)
+    cfg = dataclasses.replace(
+        cfg,
+        map=dataclasses.replace(
+            cfg.map, kf_proactive_max_matches=0, kf_min_frame_gap=50,
+            kf_min_matches=10_000,
+        ),
+    )
+    # fast pan: consecutive frames overlap, frame 0 vs frame 10 does not
+    c = cfg.camera
+    seq = synthetic.make_sequence(
+        num_frames=20, max_keypoints=cfg.frontend.max_keypoints,
+        desc_dim=cfg.frontend.descriptor_dim,
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
+        seed=7, num_landmarks=3000, dt=0.1,
+    )
+    ts, R, t = make_trajectory(20, dt=0.1, radius=0.8, angular_rate=1.2)
+    seq2 = dataclasses.replace(seq, R=R, t=t)
+    # re-observe with the fast trajectory
+    from vslam_tpu.data.synthetic import observe
+
+    rng = np.random.default_rng(7)
+    obs = [
+        observe(seq.world, R[i], t[i], c.fx, c.fy, c.cx, c.cy, c.width,
+                c.height, max_keypoints=cfg.frontend.max_keypoints, rng=rng)
+        for i in range(20)
+    ]
+    seq2 = dataclasses.replace(
+        seq2,
+        kp_xy=np.stack([o[0] for o in obs]),
+        kp_desc=np.stack([o[1] for o in obs]),
+        kp_depth=np.stack([o[2] for o in obs]),
+        kp_valid=np.stack([o[3] for o in obs]),
+        kp_landmark=np.stack([o[4] for o in obs]),
+    )
+    result, ate_res = pipeline.run_synthetic(seq2, cfg, use_imu=False)
+    st = result.final_state
+    # With normal+proactive keyframes disabled, only bridges create KFs
+    # beyond the bootstrap one.
+    assert int(np.asarray(st.kf_count)) >= 2, "bridge keyframes should fire"
+    assert float(np.asarray(result.outputs.tracking_ok)[1:].mean()) > 0.6

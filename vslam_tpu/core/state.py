@@ -90,6 +90,15 @@ class TrackState(NamedTuple):
     kf_frame_id: jnp.ndarray  # () int32
     kf_map_idx: jnp.ndarray  # (K,) int32 — map point per KF keypoint (-1 none)
 
+    # Previous frame (for bridge-keyframe promotion, `src/Slam.cpp:847-872`)
+    prev_xy: jnp.ndarray  # (K, 2)
+    prev_desc: jnp.ndarray  # (K, D) bf16
+    prev_depth: jnp.ndarray  # (K,)
+    prev_valid: jnp.ndarray  # (K,)
+    prev_R: jnp.ndarray  # (3, 3)
+    prev_t: jnp.ndarray  # (3,)
+    prev_frame_id: jnp.ndarray  # () int32 (-1 = none)
+
     keyframes: KeyframeStore
     map: MapStore
     loops: LoopConstraints
@@ -168,6 +177,13 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         kf_t=jnp.asarray(t0, f32),
         kf_frame_id=jnp.asarray(-1, jnp.int32),
         kf_map_idx=jnp.full(K, -1, jnp.int32),
+        prev_xy=jnp.zeros((K, 2), f32),
+        prev_desc=jnp.zeros((K, D), fdesc),
+        prev_depth=jnp.zeros(K, f32),
+        prev_valid=jnp.zeros(K, bool),
+        prev_R=jnp.asarray(R0, f32),
+        prev_t=jnp.asarray(t0, f32),
+        prev_frame_id=jnp.asarray(-1, jnp.int32),
         keyframes=KeyframeStore(
             xy=jnp.zeros((KFC, K, 2), f32),
             desc=jnp.zeros((KFC, K, D), fdesc),

@@ -613,12 +613,58 @@ def tracking_step(
                 ekf=ekf0,
                 frame_idx=st.frame_idx + 1,
                 last_time=frame.timestamp,
+                prev_xy=frame.xy,
+                prev_desc=frame.desc,
+                prev_depth=frame.depth,
+                prev_valid=frame.valid,
+                prev_R=st.R,
+                prev_t=st.t,
+                prev_frame_id=frame.frame_id,
             ),
             out,
         )
 
     def track(st: TrackState):
         m, uv_kf, uv_cur, gated, n_raw = _match_to_keyframe(st, frame, config, k_match)
+
+        # Bridge-keyframe promotion (`src/Slam.cpp:847-872`): when matching
+        # against the keyframe collapses but the previous frame tracked,
+        # promote the previous frame to keyframe (with depth-backprojected
+        # points) and re-match the current frame against it.
+        can_bridge = (
+            (n_raw < config.frontend.min_matches)
+            & (st.prev_frame_id >= 0)
+            & (st.prev_frame_id != st.kf_frame_id)
+        )
+
+        def bridge(s):
+            prev = FrameFeatures(
+                xy=s.prev_xy,
+                desc=s.prev_desc,
+                depth=s.prev_depth,
+                valid=s.prev_valid,
+                timestamp=s.last_time,
+                stationary=jnp.asarray(False),
+                frame_id=s.prev_frame_id,
+            )
+            K = s.prev_xy.shape[0]
+            m_dummy = matching.MatchResult(
+                jnp.arange(K, dtype=jnp.int32),
+                jnp.zeros(K, dtype=bool),
+                jnp.zeros(K),
+            )
+            s2 = _make_keyframe(
+                s, prev, config, s.prev_R, s.prev_t, m_dummy,
+                jnp.zeros(K, dtype=bool),
+            )
+            m2, uv_kf2, uv_cur2, gated2, n_raw2 = _match_to_keyframe(
+                s2, frame, config, k_match
+            )
+            return s2, m2, uv_kf2, uv_cur2, gated2, n_raw2
+
+        st, m, uv_kf, uv_cur, gated, n_raw = jax.lax.cond(
+            can_bridge, bridge, lambda s: (s, m, uv_kf, uv_cur, gated, n_raw), st
+        )
         n_matches = jnp.sum(gated)
 
         R_mot, t_mot, used_3d3d, motion_ok, n_inl, new_scale = _estimate_motion(
@@ -718,6 +764,13 @@ def tracking_step(
             last_scale=new_scale,
             tracking_ok=motion_ok | recovered,
             was_stationary=frame.stationary,
+            prev_xy=frame.xy,
+            prev_desc=frame.desc,
+            prev_depth=frame.depth,
+            prev_valid=frame.valid,
+            prev_R=R_fin,
+            prev_t=t_fin,
+            prev_frame_id=frame.frame_id,
             recovery_cooldown=jnp.where(
                 recovered,
                 jnp.asarray(config.pnp.recovery_cooldown_frames, jnp.int32),
