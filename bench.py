@@ -57,8 +57,10 @@ def main():
         n_landmarks = 800
     else:
         cfg = SlamConfig()
-        n_frames = args.frames or 256
-        sp_batch, sp_iters = 16, 8
+        # Default workload sized like TUM fr2_pioneer_slam3 at FRAME_STEP=3:
+        # ~848 processed frames (BASELINE.md).
+        n_frames = args.frames or 848
+        sp_batch, sp_iters = 16, 4
         n_landmarks = 6000
 
     c = cfg.camera
@@ -181,19 +183,39 @@ def main():
         dt_multi = (time.perf_counter() - t0) / 2
         multi_fps = B * n_frames / dt_multi
 
-    # ---------------- ATE oracle ----------------
+    # ---------------- ATE oracle + backend passes ----------------
     from vslam_tpu.eval import ate as ate_mod
 
     result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
 
+    # Backend (PGO + windowed BA) runs once per sequence; amortize its wall
+    # time into the per-frame cost so the metric covers the baseline's
+    # full "SuperPoint + track + BA" definition. (The reference ships with
+    # local BA disabled, Config.h:99 — ours is on for this measurement.)
+    # Warm-up first: jit compilation must not count as runtime.
+    result_b = pipeline.run_posthoc_pgo(result, cfg)
+    result_b = pipeline.run_windowed_ba(result_b, cfg)
+    t0 = time.perf_counter()
+    result_b = pipeline.run_posthoc_pgo(result, cfg)
+    result_b = pipeline.run_windowed_ba(result_b, cfg)
+    backend_s = time.perf_counter() - t0
+    ate_backend = ate_mod.compute_ate(
+        result_b.timestamps, result_b.t_smoothed, seq.timestamps, seq.t,
+        with_scale=False,
+    )
+
     # ---------------- Combined ----------------
-    per_frame = (0.0 if args.no_frontend else 1.0 / sp_fps) + 1.0 / track_fps
+    per_frame = (
+        (0.0 if args.no_frontend else 1.0 / sp_fps)
+        + 1.0 / track_fps
+        + backend_s / n_frames
+    )
     fps = 1.0 / per_frame
 
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip end-to-end (SuperPoint + track)",
+                "metric": "frames/sec/chip end-to-end (SuperPoint + track + PGO/BA backend)",
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 200.0, 3),
@@ -203,7 +225,9 @@ def main():
                     "tracking_fps": round(track_fps, 2),
                     "multi_seq_tracking_fps": None if multi_fps is None else round(multi_fps, 2),
                     "frames": n_frames,
+                    "backend_s": round(backend_s, 3),
                     "ate_rmse_synthetic_m": round(ate_res.rmse, 4),
+                    "ate_rmse_after_backend_m": round(ate_backend.rmse, 4),
                 },
             }
         )

@@ -256,58 +256,58 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         return result
     # last W keyframes by frame id
     order = np.argsort(np.asarray(kfs.frame_id)[slots])
-    slots = slots[order][-W:]
-    Wn = len(slots)
-
-    # Select map points: valid, enough observations
-    mp_valid = np.asarray(st.map.valid)
-    cand = np.nonzero(mp_valid)[0]
-    P = min(oc.ba_max_points, len(cand))
-    if P < 16:
+    slots = jnp.asarray(slots[order][-W:])
+    Wn = int(slots.shape[0])
+    P = oc.ba_max_points
+    if int(np.asarray(st.map.valid).sum()) < 16:
         return result
-    # prefer most-observed points
-    obs_count = np.asarray(st.map.num_obs)[cand]
-    cand = cand[np.argsort(-obs_count)][:P]
 
-    X = jnp.asarray(np.asarray(st.map.pos)[cand])
-    desc_pts = jnp.asarray(np.asarray(st.map.desc)[cand])
+    @functools.partial(jax.jit, static_argnames=("P",))
+    def build_obs(map_store, kfs, slots, P):
+        """Select top-P map points by observation count + associate them
+        into every window keyframe — one device program (the per-KF host
+        loop costs ~10 relay round trips otherwise)."""
+        score = jnp.where(map_store.valid, map_store.num_obs, -1)
+        _, cand = jax.lax.top_k(score, P)
+        X = map_store.pos[cand]
+        desc_pts = map_store.desc[cand]
+        pt_ok = map_store.valid[cand]
 
-    uv = np.zeros((Wn, P, 2), np.float32)
-    mask = np.zeros((Wn, P), bool)
-    for wi, s in enumerate(slots):
-        R = jnp.asarray(np.asarray(kfs.R)[s])
-        t = jnp.asarray(np.asarray(kfs.t)[s])
-        Rcw = R.T
-        tcw = -Rcw @ t
-        p_c = X @ Rcw.T + tcw
-        uv_proj, front = cam.project(p_c, c.fx, c.fy, c.cx, c.cy)
-        in_img = front & cam.in_image(uv_proj, c.width, c.height)
-        mp_idx, kp_ok, _ = matching.radius_descriptor_match(
-            jnp.asarray(np.asarray(kfs.desc)[s]),
-            jnp.asarray(np.asarray(kfs.xy)[s]),
-            jnp.asarray(np.asarray(kfs.kp_valid)[s]),
-            desc_pts, uv_proj, in_img,
-            radius_px=config.map.track_search_radius_px,
-            desc_thresh=config.map.track_desc_threshold,
-        )
-        # mp_idx: per-keypoint matched point (or -1)
-        mi = np.asarray(mp_idx)
-        ok = np.asarray(kp_ok)
-        kxy = np.asarray(kfs.xy)[s]
-        for k in np.nonzero(ok)[0]:
-            p_i = mi[k]
-            if p_i >= 0 and not mask[wi, p_i]:
-                mask[wi, p_i] = True
-                uv[wi, p_i] = kxy[k]
+        def per_kf(s):
+            R = kfs.R[s]
+            t = kfs.t[s]
+            Rcw = R.T
+            tcw = -Rcw @ t
+            p_c = X @ Rcw.T + tcw
+            uv_proj, front = cam.project(p_c, c.fx, c.fy, c.cx, c.cy)
+            in_img = front & cam.in_image(uv_proj, c.width, c.height) & pt_ok
+            mp_idx, kp_ok, _ = matching.radius_descriptor_match(
+                kfs.desc[s], kfs.xy[s], kfs.kp_valid[s],
+                desc_pts, uv_proj, in_img,
+                radius_px=config.map.track_search_radius_px,
+                desc_thresh=config.map.track_desc_threshold,
+            )
+            # Scatter keypoint pixels onto their matched points.
+            dest = jnp.where(kp_ok, mp_idx, P)
+            uv_p = jnp.zeros((P, 2), jnp.float32).at[dest].set(
+                kfs.xy[s], mode="drop"
+            )
+            m_p = jnp.zeros(P, bool).at[dest].set(True, mode="drop")
+            return uv_p, m_p
+
+        uv, mask = jax.vmap(per_kf)(slots)
+        return X, uv, mask, cand
+
+    X, uv, mask, cand = build_obs(st.map, kfs, slots, P)
 
     prob = ba_ops.BAProblem(
-        R=jnp.asarray(np.asarray(kfs.R)[slots]),
-        t=jnp.asarray(np.asarray(kfs.t)[slots]),
+        R=kfs.R[slots],
+        t=kfs.t[slots],
         pose_valid=jnp.ones(Wn, dtype=bool),
         X=X,
-        point_valid=jnp.asarray(mask.sum(0) >= 2),
-        uv=jnp.asarray(uv),
-        obs_valid=jnp.asarray(mask),
+        point_valid=jnp.sum(mask, axis=0) >= 2,
+        uv=uv,
+        obs_valid=mask,
         fx=jnp.asarray(c.fx), fy=jnp.asarray(c.fy),
         cx=jnp.asarray(c.cx), cy=jnp.asarray(c.cy),
     )
@@ -320,7 +320,7 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     accept = jump < oc.ba_max_jump
     R_new = np.asarray(kfs.R).copy()
     t_new = np.asarray(kfs.t).copy()
-    for wi, s in enumerate(slots):
+    for wi, s in enumerate(np.asarray(slots)):
         if accept[wi]:
             R_new[s] = np.asarray(R_opt)[wi]
             t_new[s] = np.asarray(t_opt)[wi]
@@ -339,7 +339,8 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     # write refined points back
     pos_new = np.asarray(st.map.pos).copy()
     pv = np.asarray(prob.point_valid)
-    pos_new[cand[pv]] = np.asarray(X_opt)[pv]
+    cand_np = np.asarray(cand)
+    pos_new[cand_np[pv]] = np.asarray(X_opt)[pv]
 
     return RunResult(
         timestamps=result.timestamps,

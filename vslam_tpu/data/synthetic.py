@@ -401,6 +401,34 @@ def render_depth_room(R, t, fx, fy, cx, cy, width, height, floor_y=1.5, wall_dis
     return z.astype(np.float32)
 
 
+def render_textured(world, R, t, fx, fy, cx, cy, width, height, patch=7, seed=123):
+    """Rasterize landmarks as UNIQUE random texture patches (so image-level
+    descriptors are distinctive, unlike identical Gaussian spots) over a
+    gradient background -> (H, W) float32 grayscale in [0, 1]."""
+    rng = np.random.default_rng(seed)  # fixed: patches persistent per landmark
+    P = len(world.landmarks)
+    patches = rng.uniform(0.25, 1.0, (P, patch, patch)).astype(np.float32)
+
+    img = np.tile(np.linspace(0.15, 0.3, width, dtype=np.float32), (height, 1))
+    Rcw = R.T
+    pc = world.landmarks @ Rcw.T + (-Rcw @ t)
+    z = pc[:, 2]
+    vis = z > 0.3
+    ids = np.nonzero(vis)[0]
+    u = fx * pc[ids, 0] / z[ids] + cx
+    v = fy * pc[ids, 1] / z[ids] + cy
+    r = patch // 2
+    inb = (u >= r + 1) & (u < width - r - 1) & (v >= r + 1) & (v < height - r - 1)
+    order = np.argsort(-z[ids])  # far first: near landmarks overwrite
+    for k in order:
+        if not inb[k]:
+            continue
+        x0 = int(round(u[k])) - r
+        y0 = int(round(v[k])) - r
+        img[y0 : y0 + patch, x0 : x0 + patch] = patches[ids[k]]
+    return np.clip(img, 0.0, 1.0)
+
+
 def render_gray(world, R, t, fx, fy, cx, cy, width, height, spot_sigma=1.5):
     """Rasterize landmarks as Gaussian spots on a gradient background ->
     (H, W) float32 grayscale in [0, 1]. Image-level test input."""

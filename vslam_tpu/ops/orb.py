@@ -30,12 +30,10 @@ from vslam_tpu.ops import nms as nms_ops
 _CIRCLE = np.array(
     [
         (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
-        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-3 + 2, -3 + 0),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
     ],
     dtype=np.int32,
 )
-# fix the last tap (should be (-1,-3))
-_CIRCLE[15] = (-1, -3)
 
 
 def fast_score(img, threshold=0.08, arc=9):
