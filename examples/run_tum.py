@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--render", action="store_true", help="render viewer frames")
+    ap.add_argument("--ba", action="store_true",
+                    help="apply windowed bundle adjustment (the reference ships "
+                    "with ENABLE_LOCAL_BA=false, Config.h:99)")
     args = ap.parse_args()
 
     import jax
@@ -131,8 +134,10 @@ def main():
     dt = time.perf_counter() - t0
     print(f"[track] {len(idxs)} frames in {dt:.2f}s ({len(idxs) / dt:.1f} fps)")
 
-    # ---- post-hoc PGO ----
+    # ---- post-hoc PGO (+ optional windowed BA) ----
     result = pipeline.run_posthoc_pgo(result, cfg, gravity=gravity, initial_height=h0)
+    if args.ba:
+        result = pipeline.run_windowed_ba(result, cfg)
 
     # ---- dense cloud ----
     dstate = gridhash.init_dense_map(cfg.dense.hash_capacity, cfg.dense.cloud_capacity)
@@ -192,6 +197,19 @@ def main():
         )
         print(f"[viz] {len(paths)} frames -> {args.out}/viz")
 
+    import json
+
+    summary = {
+        "frames": len(idxs),
+        "track_fps": round(len(idxs) / dt, 2),
+        "keyframes": int(np.asarray(result.final_state.keyframes.valid).sum()),
+        "map_points": int(np.asarray(result.final_state.map.valid).sum()),
+        "dense_points": n_dense,
+    }
+    if seq_meta.gt is not None:
+        summary["ate_rmse_m"] = round(res_ate.rmse, 4)
+        summary["rpe_rmse_m"] = round(res_rpe.rmse, 4)
+    print("[summary] " + json.dumps(summary))
     print(f"[done] outputs in {args.out}/")
 
 

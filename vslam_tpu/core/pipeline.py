@@ -133,25 +133,18 @@ def run_tracking(
     )
 
 
-def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial_height=0.0):
-    """Post-hoc pose-graph optimization over the keyframe ring + loop
-    constraints + height prior (`Slam::run_posthoc_pgo`,
-    `src/Slam.cpp:1748-1755` -> `Optimizer.cpp:654-863`), then the
-    trajectory/map-point correction passes. Returns a new RunResult with
-    corrected positions (raw + smoothed are both corrected)."""
+@functools.partial(jax.jit, static_argnames=("config",))
+def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, config):
+    """Whole PGO pass (problem build + optimize + corrections) as ONE
+    jitted program — eager op-by-op construction costs a relay round trip
+    per op on the axon backend."""
     from vslam_tpu.ops import pgo
 
-    st = result.final_state
     kfs = st.keyframes
-    n_kf = int(np.asarray(jnp.sum(kfs.valid)))
-    if n_kf < 2:
-        return result
-
     oc = config.opt
     e_i, e_j, e_R, e_t, e_info, e_valid = pgo.build_odometry_edges(
         kfs.R, kfs.t, kfs.valid, oc.pgo_odom_trans_sigma, oc.pgo_odom_rot_sigma
     )
-    # Append loop edges.
     loops = st.loops
     li = loops.kf_from
     lj = loops.kf_to
@@ -174,44 +167,49 @@ def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial
         e_t=jnp.concatenate([e_t, loops.t_rel]),
         e_info=jnp.concatenate([e_info, l_info]),
         e_valid=jnp.concatenate([e_valid, loops.valid]),
-        gravity=st.gravity if gravity is None else jnp.asarray(gravity, jnp.float32),
-        height=jnp.asarray(initial_height, jnp.float32),
+        gravity=st.gravity if gravity_opt is None else gravity_opt,
+        height=initial_height,
         height_info=jnp.asarray(1.0 / oc.pgo_height_sigma**2, jnp.float32),
         height_on=st.has_height,
     )
     R_opt, t_opt = pgo.optimize(prob, iterations=oc.pgo_iterations)
 
-    frame_ids = jnp.arange(result.t.shape[0], dtype=jnp.float32)
+    frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
     _, t_corr = pgo.correct_trajectory(
-        frame_ids,
-        jnp.asarray(result.R),
-        jnp.asarray(result.t),
-        kfs.frame_id,
-        kfs.valid,
-        kfs.R,
-        kfs.t,
-        R_opt,
-        t_opt,
+        frame_ids, res_R, res_t, kfs.frame_id, kfs.valid, kfs.R, kfs.t,
+        R_opt, t_opt,
     )
     _, t_corr_s = pgo.correct_trajectory(
-        frame_ids,
-        jnp.asarray(result.R),
-        jnp.asarray(result.t_smoothed),
-        kfs.frame_id,
-        kfs.valid,
-        kfs.R,
-        kfs.t,
-        R_opt,
-        t_opt,
+        frame_ids, res_R, res_t_smoothed, kfs.frame_id, kfs.valid, kfs.R,
+        kfs.t, R_opt, t_opt,
     )
     moved = pgo.correct_map_points(
-        st.map.pos,
-        jnp.mod(st.map.first_kf, kfs.valid.shape[0]),
-        kfs.valid,
-        kfs.R,
-        kfs.t,
-        R_opt,
-        t_opt,
+        st.map.pos, jnp.mod(st.map.first_kf, kfs.valid.shape[0]), kfs.valid,
+        kfs.R, kfs.t, R_opt, t_opt,
+    )
+    return R_opt, t_opt, t_corr, t_corr_s, moved
+
+
+def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial_height=0.0):
+    """Post-hoc pose-graph optimization over the keyframe ring + loop
+    constraints + height prior (`Slam::run_posthoc_pgo`,
+    `src/Slam.cpp:1748-1755` -> `Optimizer.cpp:654-863`), then the
+    trajectory/map-point correction passes. Returns a new RunResult with
+    corrected positions (raw + smoothed are both corrected)."""
+    from vslam_tpu.ops import pgo
+
+    st = result.final_state
+    kfs = st.keyframes
+    n_kf = int(np.asarray(jnp.sum(kfs.valid)))
+    if n_kf < 2:
+        return result
+
+    R_opt, t_opt, t_corr, t_corr_s, moved = _pgo_pass(
+        st, jnp.asarray(result.R), jnp.asarray(result.t),
+        jnp.asarray(result.t_smoothed),
+        None if gravity is None else jnp.asarray(gravity, jnp.float32),
+        jnp.asarray(initial_height, jnp.float32),
+        config,
     )
     new_state = st._replace(
         map=st.map._replace(pos=moved),
@@ -225,6 +223,73 @@ def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial
         outputs=result.outputs,
         final_state=new_state,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "P"))
+def _build_ba_obs(map_store, kfs, slots, config: SlamConfig, P: int):
+    """Select top-P map points by observation count + associate them into
+    every window keyframe — ONE device program (a per-KF host loop costs
+    ~10 relay round trips). Module-level jit so the compilation caches
+    across run_windowed_ba calls."""
+    from vslam_tpu.ops import camera as cam
+    from vslam_tpu.ops import matching
+
+    c = config.camera
+    score = jnp.where(map_store.valid, map_store.num_obs, -1)
+    _, cand = jax.lax.top_k(score, P)
+    X = map_store.pos[cand]
+    desc_pts = map_store.desc[cand]
+    pt_ok = map_store.valid[cand]
+
+    def per_kf(s):
+        R = kfs.R[s]
+        t = kfs.t[s]
+        Rcw = R.T
+        tcw = -Rcw @ t
+        p_c = X @ Rcw.T + tcw
+        uv_proj, front = cam.project(p_c, c.fx, c.fy, c.cx, c.cy)
+        in_img = front & cam.in_image(uv_proj, c.width, c.height) & pt_ok
+        mp_idx, kp_ok, _ = matching.radius_descriptor_match(
+            kfs.desc[s], kfs.xy[s], kfs.kp_valid[s],
+            desc_pts, uv_proj, in_img,
+            radius_px=config.map.track_search_radius_px,
+            desc_thresh=config.map.track_desc_threshold,
+        )
+        # Scatter keypoint pixels onto their matched points.
+        dest = jnp.where(kp_ok, mp_idx, P)
+        uv_p = jnp.zeros((P, 2), jnp.float32).at[dest].set(kfs.xy[s], mode="drop")
+        m_p = jnp.zeros(P, bool).at[dest].set(True, mode="drop")
+        return uv_p, m_p
+
+    uv, mask = jax.vmap(per_kf)(slots)
+    return X, uv, mask, cand
+
+
+@jax.jit
+def _ba_finish(kfs, map_pos, slots, t0_win, R_opt, t_opt, X_opt, cand,
+               point_valid, res_R, res_t, res_t_smoothed, max_jump):
+    """BA epilogue as one program: per-KF jump gate (Config.h:100),
+    keyframe write-back, trajectory correction, refined-point scatter."""
+    from vslam_tpu.ops import pgo
+
+    jump = jnp.linalg.norm(t_opt - t0_win, axis=-1)
+    accept = jump < max_jump
+    dest = jnp.where(accept, slots, kfs.R.shape[0])
+    R_new = kfs.R.at[dest].set(R_opt, mode="drop")
+    t_new = kfs.t.at[dest].set(t_opt, mode="drop")
+
+    frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
+    _, t_corr = pgo.correct_trajectory(
+        frame_ids, res_R, res_t, kfs.frame_id, kfs.valid, kfs.R, kfs.t,
+        R_new, t_new,
+    )
+    _, t_corr_s = pgo.correct_trajectory(
+        frame_ids, res_R, res_t_smoothed, kfs.frame_id, kfs.valid, kfs.R,
+        kfs.t, R_new, t_new,
+    )
+    pdest = jnp.where(point_valid, cand, map_pos.shape[0])
+    pos_new = map_pos.at[pdest].set(X_opt, mode="drop")
+    return R_new, t_new, t_corr, t_corr_s, pos_new
 
 
 def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int] = None):
@@ -262,43 +327,7 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     if int(np.asarray(st.map.valid).sum()) < 16:
         return result
 
-    @functools.partial(jax.jit, static_argnames=("P",))
-    def build_obs(map_store, kfs, slots, P):
-        """Select top-P map points by observation count + associate them
-        into every window keyframe — one device program (the per-KF host
-        loop costs ~10 relay round trips otherwise)."""
-        score = jnp.where(map_store.valid, map_store.num_obs, -1)
-        _, cand = jax.lax.top_k(score, P)
-        X = map_store.pos[cand]
-        desc_pts = map_store.desc[cand]
-        pt_ok = map_store.valid[cand]
-
-        def per_kf(s):
-            R = kfs.R[s]
-            t = kfs.t[s]
-            Rcw = R.T
-            tcw = -Rcw @ t
-            p_c = X @ Rcw.T + tcw
-            uv_proj, front = cam.project(p_c, c.fx, c.fy, c.cx, c.cy)
-            in_img = front & cam.in_image(uv_proj, c.width, c.height) & pt_ok
-            mp_idx, kp_ok, _ = matching.radius_descriptor_match(
-                kfs.desc[s], kfs.xy[s], kfs.kp_valid[s],
-                desc_pts, uv_proj, in_img,
-                radius_px=config.map.track_search_radius_px,
-                desc_thresh=config.map.track_desc_threshold,
-            )
-            # Scatter keypoint pixels onto their matched points.
-            dest = jnp.where(kp_ok, mp_idx, P)
-            uv_p = jnp.zeros((P, 2), jnp.float32).at[dest].set(
-                kfs.xy[s], mode="drop"
-            )
-            m_p = jnp.zeros(P, bool).at[dest].set(True, mode="drop")
-            return uv_p, m_p
-
-        uv, mask = jax.vmap(per_kf)(slots)
-        return X, uv, mask, cand
-
-    X, uv, mask, cand = build_obs(st.map, kfs, slots, P)
+    X, uv, mask, cand = _build_ba_obs(st.map, kfs, slots, config, P)
 
     prob = ba_ops.BAProblem(
         R=kfs.R[slots],
@@ -315,32 +344,11 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
     )
 
-    # Jump gate per keyframe (Config.h:100 BA_MAX_JUMP)
-    jump = np.linalg.norm(np.asarray(t_opt) - np.asarray(prob.t), axis=-1)
-    accept = jump < oc.ba_max_jump
-    R_new = np.asarray(kfs.R).copy()
-    t_new = np.asarray(kfs.t).copy()
-    for wi, s in enumerate(np.asarray(slots)):
-        if accept[wi]:
-            R_new[s] = np.asarray(R_opt)[wi]
-            t_new[s] = np.asarray(t_opt)[wi]
-
-    frame_ids = jnp.arange(result.t.shape[0], dtype=jnp.float32)
-    _, t_corr = pgo.correct_trajectory(
-        frame_ids, jnp.asarray(result.R), jnp.asarray(result.t),
-        kfs.frame_id, kfs.valid, kfs.R, kfs.t,
-        jnp.asarray(R_new), jnp.asarray(t_new),
+    R_new, t_new, t_corr, t_corr_s, pos_new = _ba_finish(
+        kfs, st.map.pos, slots, prob.t, R_opt, t_opt, X_opt, cand,
+        prob.point_valid, jnp.asarray(result.R), jnp.asarray(result.t),
+        jnp.asarray(result.t_smoothed), oc.ba_max_jump,
     )
-    _, t_corr_s = pgo.correct_trajectory(
-        frame_ids, jnp.asarray(result.R), jnp.asarray(result.t_smoothed),
-        kfs.frame_id, kfs.valid, kfs.R, kfs.t,
-        jnp.asarray(R_new), jnp.asarray(t_new),
-    )
-    # write refined points back
-    pos_new = np.asarray(st.map.pos).copy()
-    pv = np.asarray(prob.point_valid)
-    cand_np = np.asarray(cand)
-    pos_new[cand_np[pv]] = np.asarray(X_opt)[pv]
 
     return RunResult(
         timestamps=result.timestamps,
@@ -349,8 +357,8 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         t_smoothed=np.asarray(t_corr_s),
         outputs=result.outputs,
         final_state=st._replace(
-            map=st.map._replace(pos=jnp.asarray(pos_new)),
-            keyframes=kfs._replace(R=jnp.asarray(R_new), t=jnp.asarray(t_new)),
+            map=st.map._replace(pos=pos_new),
+            keyframes=kfs._replace(R=R_new, t=t_new),
         ),
     )
 

@@ -128,6 +128,7 @@ def optimize(prob: PGOProblem, iterations: int = 20, damping: float = 1e-6):
     return R_out, t_out
 
 
+@jax.jit
 def correct_trajectory(frame_ids, frame_R, frame_t, kf_frame_ids, kf_valid,
                        kf_R_old, kf_t_old, kf_R_new, kf_t_new):
     """Apply keyframe deltas to all frames, interpolating between keyframes
@@ -157,6 +158,7 @@ def correct_trajectory(frame_ids, frame_R, frame_t, kf_frame_ids, kf_valid,
     return frame_R, frame_t + delta
 
 
+@jax.jit
 def correct_map_points(points, point_kf, kf_valid, kf_R_old, kf_t_old, kf_R_new, kf_t_new):
     """Move map points rigidly with their owning keyframe
     (`Optimizer.cpp:829-859`): X' = T_new ∘ T_old^{-1} ∘ X."""
