@@ -60,7 +60,7 @@ def main():
         # Default workload sized like TUM fr2_pioneer_slam3 at FRAME_STEP=3:
         # ~848 processed frames (BASELINE.md).
         n_frames = args.frames or 848
-        sp_batch, sp_iters = 16, 4
+        sp_batch, sp_iters = 32, 4
         n_landmarks = 6000
 
     c = cfg.camera

@@ -90,7 +90,7 @@ class PnPConfig:
     min_points: int = 10
     ransac_threshold_px: float = 8.0
     ransac_iters: int = 128  # reference solvePnPRansac uses 100-300
-    gn_iters: int = 10
+    gn_iters: int = 8  # Huber-GN converges in <6 on pre-gated corrs
     recovery_max_jump: float = 1.5
     recovery_blend_close: float = 0.8
     recovery_blend_far: float = 0.3
