@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--render", action="store_true", help="render viewer frames")
+    ap.add_argument("--orb", action="store_true",
+                    help="use the ORB fallback frontend (reference C5)")
     ap.add_argument("--ba", action="store_true",
                     help="apply windowed bundle adjustment (the reference ships "
                     "with ENABLE_LOCAL_BA=false, Config.h:99)")
@@ -118,8 +120,8 @@ def main():
 
     # ---- L2: frontend ----
     t0 = time.perf_counter()
-    front = fe.SuperPointFrontend(cfg)
-    print(f"[frontend] SuperPoint weights: {front.weight_source}")
+    front = fe.make_frontend(cfg, kind="orb" if args.orb else "auto")
+    print(f"[frontend] weights: {front.weight_source}")
     frames = fe.extract_sequence(
         front, grays, depths, stamps, stationary=stationary,
         cache_path=args.cache, frame_indices=np.asarray(idxs),

@@ -127,3 +127,25 @@ def test_superpoint_pth_conversion(tmp_path):
     # load_or_init picks up the checkpoint from a search dir
     params2, src = w.load_or_init_superpoint(search_dirs=(str(tmp_path),))
     assert src.endswith("superpoint_v1.pth")
+
+
+def test_frontend_factory_orb():
+    from vslam_tpu.config import tiny_test_config
+    from vslam_tpu.core import frontend as fe
+
+    cfg = tiny_test_config()
+    front = fe.make_frontend(cfg, kind="orb")
+    rng = np.random.default_rng(0)
+    from vslam_tpu.data import synthetic
+
+    world = synthetic.make_room_world(rng, num_landmarks=300, desc_dim=8)
+    img = synthetic.render_textured(
+        world, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+        cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
+        cfg.camera.width, cfg.camera.height,
+    )
+    xy, score, valid, desc = front.extract(np.stack([img, img]))
+    K, D = cfg.frontend.max_keypoints, cfg.frontend.descriptor_dim
+    assert xy.shape == (2, K, 2)
+    assert desc.shape == (2, K, D)
+    assert int(np.asarray(valid).sum()) > 20

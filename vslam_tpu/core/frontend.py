@@ -68,6 +68,52 @@ class SuperPointFrontend:
         return self._extract(self.params, img)
 
 
+class OrbFrontend:
+    """ORB fallback frontend with the SuperPointFrontend interface
+    (the reference swaps in cv::ORB when the SuperPoint model is absent,
+    `src/FeatureExtractor.cpp:12-15, 210-214`)."""
+
+    def __init__(self, config: SlamConfig, num_levels: int = 4):
+        self.config = config
+        self.num_levels = num_levels
+        self.weight_source = "orb-fallback"
+
+    def extract(self, gray_batch: np.ndarray):
+        from vslam_tpu.ops import orb
+
+        imgs = np.asarray(gray_batch, np.float32)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+        K = self.config.frontend.max_keypoints
+        D = self.config.frontend.descriptor_dim
+        xs, ss, vs, ds = [], [], [], []
+        for img in imgs:
+            xy, score, valid, desc = orb.detect_orb(
+                jnp.asarray(img), max_keypoints=K, num_levels=self.num_levels
+            )
+            d = np.asarray(desc)[:, :D]
+            d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+            xs.append(np.asarray(xy))
+            ss.append(np.asarray(score))
+            vs.append(np.asarray(valid))
+            ds.append(d)
+        return (
+            jnp.asarray(np.stack(xs)),
+            jnp.asarray(np.stack(ss)),
+            jnp.asarray(np.stack(vs)),
+            jnp.asarray(np.stack(ds)),
+        )
+
+
+def make_frontend(config: SlamConfig, kind: str = "auto", params=None, key=None):
+    """Frontend factory: 'superpoint', 'orb', or 'auto' (SuperPoint with
+    checkpoint weights if found, else still SuperPoint random-init —
+    pass 'orb' explicitly for the classical fallback)."""
+    if kind == "orb":
+        return OrbFrontend(config)
+    return SuperPointFrontend(config, params=params, key=key)
+
+
 def sample_depth_at_keypoints(depth_maps, kp_xy):
     """Nearest-pixel depth lookup per keypoint (`src/Slam.cpp:243-246`).
 

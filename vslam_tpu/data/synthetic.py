@@ -290,7 +290,7 @@ def make_room_sequence(num_frames=40, seed=0, **kw):
     )
 
 
-def write_tum_sequence(out_dir, seq: SyntheticSequence, write_cache=None):
+def write_tum_sequence(out_dir, seq: SyntheticSequence, write_cache=None, textured=False):
     """Materialize a synthetic sequence as a TUM-format dataset directory:
     rgb/ + depth/ 16-bit PNGs, rgb.txt/depth.txt/associations.txt,
     groundtruth.txt (quaternions), accelerometer.txt — byte-compatible
@@ -315,8 +315,9 @@ def write_tum_sequence(out_dir, seq: SyntheticSequence, write_cache=None):
             seq.R[i].astype(np.float64), seq.t[i].astype(np.float64),
             seq.fx, seq.fy, seq.cx, seq.cy, seq.width, seq.height,
         )
-        img = render_gray(seq.world, seq.R[i], seq.t[i], seq.fx, seq.fy,
-                          seq.cx, seq.cy, seq.width, seq.height)
+        render = render_textured if textured else render_gray
+        img = render(seq.world, seq.R[i], seq.t[i], seq.fx, seq.fy,
+                     seq.cx, seq.cy, seq.width, seq.height)
         rp, dp = f"rgb/{ts:.6f}.png", f"depth/{ts:.6f}.png"
         cv2.imwrite(os.path.join(out_dir, rp),
                     (np.stack([img] * 3, -1) * 255).astype(np.uint8))
