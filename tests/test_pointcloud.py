@@ -108,3 +108,16 @@ def test_fan_triangulation(rng):
     f = faces[ok]
     assert (f >= 0).all() and (f < 100).all()
     assert (f[:, 0] != f[:, 1]).all()
+
+
+def test_surface_aware_filter_keeps_planes(rng):
+    # planar patch (surface-like) + volumetric fuzz (isotropic)
+    xy = rng.uniform(-1, 1, (300, 2)).astype(np.float32)
+    plane = np.concatenate([xy, rng.normal(0, 0.002, (300, 1)).astype(np.float32)], -1)
+    fuzz = rng.normal(0, 0.5, (100, 3)).astype(np.float32) + np.array([4.0, 0, 0], np.float32)
+    pts = np.concatenate([plane, fuzz])
+    keep = np.asarray(pc.surface_aware_filter(
+        jnp.asarray(pts), jnp.ones(400, bool), k=15, planarity_min=0.05
+    ))
+    assert keep[:300].mean() > 0.9   # plane kept
+    assert keep[300:].mean() < 0.4   # isotropic fuzz mostly dropped

@@ -123,7 +123,7 @@ def surface_aware_filter(points, valid, k=20, planarity_min=0.1):
     w, _, _ = _pca_neighborhoods(points, valid, k)
     trace = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
     surface_score = 1.0 - w[..., 0] / trace  # 1 = perfectly planar
-    return valid & (surface_score >= 1.0 - planarity_min) | (valid & (surface_score > 0.9))
+    return valid & (surface_score >= 1.0 - planarity_min)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_new_per_point"))
