@@ -44,3 +44,15 @@ def test_rpe_measures_drift(rng):
     est = gt * 1.05  # 5% scale drift -> per-step error 0.005
     res = ate.compute_rpe(ts, est, ts, gt, delta=1)
     np.testing.assert_allclose(res.mean, 0.005, atol=1e-3)
+
+
+def test_rpe_counts_direction_errors():
+    # Reference RPE (main.cpp:368-380) is the norm of the VECTOR difference
+    # of displacements: a trajectory moving the right distance in the wrong
+    # direction must NOT score zero.
+    n = 50
+    ts = np.arange(n) * 0.1
+    gt = np.cumsum(np.tile([0.1, 0.0, 0.0], (n, 1)), axis=0)
+    est = np.cumsum(np.tile([0.0, 0.1, 0.0], (n, 1)), axis=0)  # same speed, wrong axis
+    res = ate.compute_rpe(ts, est, ts, gt, delta=1)
+    np.testing.assert_allclose(res.mean, 0.1 * np.sqrt(2), atol=1e-6)

@@ -18,7 +18,9 @@ def test_trajectory_roundtrip(tmp_path, rng):
     ts2, pos2, q = trajectory.load_trajectory(p1)
     np.testing.assert_allclose(ts2, ts, atol=1e-6)
     np.testing.assert_allclose(pos2, pos, atol=1e-5)
-    assert q is None
+    # Positions-only export writes full 8-column TUM lines with identity
+    # quaternion (main.cpp:391-401) so standard TUM tools accept the file.
+    np.testing.assert_allclose(q, np.tile([0, 0, 0, 1], (n, 1)), atol=0)
 
     p2 = tmp_path / "traj_full.txt"
     trajectory.save_trajectory_full(p2, ts, R, pos)

@@ -159,7 +159,16 @@ def extract_sequence(
             xy, score, desc, valid, cache_ids = fc.to_padded(
                 fc.load_spcf(cache_path), K, D
             )
-        if xy.shape[0] != N:
+        # Reconcile by dataset frame id whenever possible: a cache written
+        # at a different --frame-step must not silently associate features
+        # with the wrong frames.
+        need_reselect = xy.shape[0] != N or (
+            frame_indices is not None
+            and not np.array_equal(
+                np.asarray(cache_ids, np.int64), np.asarray(frame_indices, np.int64)
+            )
+        )
+        if need_reselect:
             if frame_indices is None:
                 raise ValueError(
                     f"feature cache has {xy.shape[0]} frames but the run has "
@@ -191,10 +200,16 @@ def extract_sequence(
         valid = np.concatenate(vs)
         desc = np.concatenate(ds)
         if cache_path:
+            # Key entries by DATASET frame id (not row index) so a replay at
+            # a different --frame-step reselects correctly.
+            ids = frame_indices if frame_indices is not None else np.arange(N)
             if cache_path.endswith(".npz"):
-                fc.save_npz(cache_path, xy, score, desc, valid)
+                fc.save_npz(cache_path, xy, score, desc, valid, frame_ids=ids)
             else:
-                fc.save_spcf(cache_path, fc.from_padded(xy, score, desc, valid))
+                fc.save_spcf(
+                    cache_path,
+                    fc.from_padded(xy, score, desc, valid, frame_ids=ids),
+                )
 
     if depth_frames is not None:
         depth = np.asarray(

@@ -143,11 +143,20 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
     kfs = st.keyframes
     oc = config.opt
     e_i, e_j, e_R, e_t, e_info, e_valid = pgo.build_odometry_edges(
-        kfs.R, kfs.t, kfs.valid, oc.pgo_odom_trans_sigma, oc.pgo_odom_rot_sigma
+        kfs.R, kfs.t, kfs.valid, kfs.frame_id,
+        oc.pgo_odom_trans_sigma, oc.pgo_odom_rot_sigma,
     )
     loops = st.loops
     li = loops.kf_from
     lj = loops.kf_to
+    # A wrapped keyframe ring may have overwritten a constraint's endpoint:
+    # the constraint is only usable while both slots still hold the frames
+    # recorded at creation.
+    l_fresh = (
+        loops.valid
+        & (kfs.frame_id[jnp.clip(li, 0, None)] == loops.from_id)
+        & (kfs.frame_id[jnp.clip(lj, 0, None)] == loops.to_id)
+    )
     l_info = jnp.tile(
         jnp.concatenate(
             [
@@ -166,7 +175,7 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
         e_R=jnp.concatenate([e_R, loops.R_rel]),
         e_t=jnp.concatenate([e_t, loops.t_rel]),
         e_info=jnp.concatenate([e_info, l_info]),
-        e_valid=jnp.concatenate([e_valid, loops.valid]),
+        e_valid=jnp.concatenate([e_valid, l_fresh]),
         gravity=st.gravity if gravity_opt is None else gravity_opt,
         height=initial_height,
         height_info=jnp.asarray(1.0 / oc.pgo_height_sigma**2, jnp.float32),

@@ -66,6 +66,10 @@ class LoopConstraints(NamedTuple):
 
     kf_from: jnp.ndarray  # (L,) int32 keyframe slot
     kf_to: jnp.ndarray  # (L,) int32
+    # Source frame ids of the endpoints at constraint creation — used to
+    # invalidate constraints whose ring slot has since been overwritten.
+    from_id: jnp.ndarray  # (L,) int32
+    to_id: jnp.ndarray  # (L,) int32
     R_rel: jnp.ndarray  # (L, 3, 3)
     t_rel: jnp.ndarray  # (L, 3)
     valid: jnp.ndarray  # (L,)
@@ -206,6 +210,8 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         loops=LoopConstraints(
             kf_from=jnp.full(L, -1, jnp.int32),
             kf_to=jnp.full(L, -1, jnp.int32),
+            from_id=jnp.full(L, -1, jnp.int32),
+            to_id=jnp.full(L, -1, jnp.int32),
             R_rel=jnp.tile(jnp.eye(3, dtype=f32), (L, 1, 1)),
             t_rel=jnp.zeros((L, 3), f32),
             valid=jnp.zeros(L, bool),

@@ -557,6 +557,12 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     loops = loops._replace(
         kf_from=loops.kf_from.at[idx].set(jnp.where(write, best_kf, loops.kf_from[idx])),
         kf_to=loops.kf_to.at[idx].set(jnp.where(write, cur_slot, loops.kf_to[idx])),
+        from_id=loops.from_id.at[idx].set(
+            jnp.where(write, cand_frame_id, loops.from_id[idx])
+        ),
+        to_id=loops.to_id.at[idx].set(
+            jnp.where(write, frame.frame_id, loops.to_id[idx])
+        ),
         R_rel=loops.R_rel.at[idx].set(jnp.where(write, R_rel, loops.R_rel[idx])),
         t_rel=loops.t_rel.at[idx].set(jnp.where(write, t_rel, loops.t_rel[idx])),
         valid=loops.valid.at[idx].set(jnp.where(write, True, loops.valid[idx])),

@@ -92,9 +92,9 @@ def compute_rpe(ts_est, est_xyz, ts_gt, gt_xyz, max_dt=0.05, delta=1):
         return RPEResult(float("inf"), float("inf"), float("inf"), 0)
     e = np.asarray(est_xyz)[ie]
     g = np.asarray(gt_xyz)[ig]
-    de = np.linalg.norm(e[delta:] - e[:-delta], axis=-1)
-    dg = np.linalg.norm(g[delta:] - g[:-delta], axis=-1)
-    err = np.abs(de - dg)
+    # Norm of the VECTOR difference of per-step displacements
+    # (`src/main.cpp:368-380`): direction errors count, not just length.
+    err = np.linalg.norm((e[delta:] - e[:-delta]) - (g[delta:] - g[:-delta]), axis=-1)
     return RPEResult(
         rmse=float(np.sqrt(np.mean(err**2))),
         mean=float(np.mean(err)),

@@ -15,11 +15,13 @@ from vslam_tpu.ops import se3
 
 
 def save_trajectory(path, timestamps, positions):
-    """Positions-only TUM file (`src/main.cpp:391-401`)."""
+    """Positions-only TUM file (`src/main.cpp:391-401`): full 8-column TUM
+    lines with identity quaternion, like the reference, so standard TUM
+    evaluation tools accept the file."""
     with open(path, "w") as f:
-        f.write("# timestamp tx ty tz\n")
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
         for ts, p in zip(np.asarray(timestamps), np.asarray(positions)):
-            f.write(f"{ts:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            f.write(f"{ts:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} 0 0 0 1\n")
 
 
 def save_trajectory_full(path, timestamps, rotations, positions):

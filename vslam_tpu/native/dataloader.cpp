@@ -100,12 +100,21 @@ bool decode_png(const std::string& path, std::vector<uint8_t>* rgb8,
     png_set_swap(png);  // PNG is big-endian; host is little-endian
     png_read_update_info(png, info);
     gray16->resize((size_t)width * height);
+    // 8-bit rows are 1 byte/pixel after expansion: lay them out contiguously
+    // (byte stride = width) so the in-place widening below reads the right
+    // bytes; 16-bit rows use the natural uint16 stride.
+    const bool eight_bit = bit_depth < 16;
     std::vector<png_bytep> rows(height);
     for (png_uint_32 y = 0; y < height; y++)
-      rows[y] = reinterpret_cast<png_bytep>(gray16->data() + (size_t)y * width);
+      rows[y] = eight_bit
+                    ? reinterpret_cast<png_bytep>(gray16->data()) +
+                          (size_t)y * width
+                    : reinterpret_cast<png_bytep>(gray16->data() +
+                                                  (size_t)y * width);
     png_read_image(png, rows.data());
-    if (bit_depth == 8) {
-      // Promote 8-bit to 16 in place (rare).
+    if (eight_bit) {
+      // Promote 8-bit to 16 in place, back-to-front (dest byte 2i never
+      // clobbers an unread src byte j<i).
       const uint8_t* src = reinterpret_cast<uint8_t*>(gray16->data());
       for (long i = (long)width * height - 1; i >= 0; i--)
         (*gray16)[i] = src[i];

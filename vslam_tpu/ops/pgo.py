@@ -46,14 +46,22 @@ class PGOProblem(NamedTuple):
     height_on: jnp.ndarray  # () bool
 
 
-def build_odometry_edges(R, t, valid, trans_sigma, rot_sigma):
+def build_odometry_edges(R, t, valid, frame_id, trans_sigma, rot_sigma):
     """Consecutive-keyframe odometry edges with measured relative poses
-    (`Optimizer.cpp:703-719`)."""
+    (`Optimizer.cpp:703-719`).
+
+    Keyframes live in a RING buffer: once the ring wraps, slot order no
+    longer equals temporal order, so vertices are sorted by source frame
+    id first — otherwise a tight-sigma odometry edge would link the newest
+    and oldest keyframes and corrupt the whole graph.
+    """
     V = R.shape[0]
-    i = jnp.arange(V - 1, dtype=jnp.int32)
-    j = i + 1
-    Ri, ti = R[:-1], t[:-1]
-    Rj, tj = R[1:], t[1:]
+    big = jnp.iinfo(jnp.int32).max
+    order = jnp.argsort(jnp.where(valid, frame_id, big)).astype(jnp.int32)
+    i = order[:-1]
+    j = order[1:]
+    Ri, ti = R[i], t[i]
+    Rj, tj = R[j], t[j]
     R_rel, t_rel = se3.relative(Ri, ti, Rj, tj)
     info = jnp.tile(
         jnp.concatenate(
@@ -64,7 +72,7 @@ def build_odometry_edges(R, t, valid, trans_sigma, rot_sigma):
         )[None],
         (V - 1, 1),
     )
-    e_valid = valid[:-1] & valid[1:]
+    e_valid = valid[i] & valid[j]
     return i, j, R_rel, t_rel, info, e_valid
 
 
