@@ -138,22 +138,22 @@ def main():
 
     # ---- post-hoc PGO (+ optional windowed BA) ----
     result = pipeline.run_posthoc_pgo(result, cfg, gravity=gravity, initial_height=h0)
-    if args.ba:
+    if args.ba or cfg.opt.enable_local_ba:
         result = pipeline.run_windowed_ba(result, cfg)
 
-    # ---- dense cloud ----
+    # ---- dense cloud (device-side scanned fusion: O(1) dispatches per
+    # chunk instead of one ~50 ms relay round trip per frame) ----
+    t0 = time.perf_counter()
     dstate = gridhash.init_dense_map(cfg.dense.hash_capacity, cfg.dense.cloud_capacity)
-    insert = jax.jit(gridhash.insert_points)
-    for k in range(len(idxs)):
-        pts, cols, valid = gridhash.backproject_frame(
-            jnp.asarray(depths[k]), jnp.asarray(rgbs[k]),
-            jnp.asarray(result.R[k]), jnp.asarray(result.t_smoothed[k]),
-            cam.fx, cam.fy, cam.cx, cam.cy,
-            pixel_step=cfg.dense.pixel_step, max_depth=cfg.dense.max_depth,
-        )
-        dstate = insert(dstate, pts, cols, valid)
+    dstate = gridhash.fuse_sequence(
+        dstate, depths, np.stack(rgbs), result.R, result.t_smoothed,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+        pixel_step=cfg.dense.pixel_step, max_depth=cfg.dense.max_depth,
+        voxel_size=cfg.dense.voxel_size, chunk=cfg.runtime.chunk_size,
+    )
     n_dense = int(dstate.cloud_count)
-    print(f"[dense] {n_dense} voxel-deduped points")
+    print(f"[dense] {n_dense} voxel-deduped points in "
+          f"{time.perf_counter() - t0:.2f}s")
 
     # ---- evaluation ----
     if seq_meta.gt is not None:

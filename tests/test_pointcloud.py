@@ -121,3 +121,45 @@ def test_surface_aware_filter_keeps_planes(rng):
     ))
     assert keep[:300].mean() > 0.9   # plane kept
     assert keep[300:].mean() < 0.4   # isotropic fuzz mostly dropped
+
+
+def test_fuse_sequence_matches_per_frame_inserts(rng):
+    """Device-side scanned fusion (main.cpp:1081-1146 as one program) must
+    equal the per-frame insert loop, including chunk padding no-ops."""
+    from vslam_tpu.data import synthetic
+
+    fx, fy, cx, cy = 120.0, 120.0, 79.5, 59.5
+    n = 5
+    Rs = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    ts = np.stack([np.array([0.1 * i, 0, 0], np.float32) for i in range(n)])
+    depths = np.stack([
+        synthetic.render_depth_room(Rs[i], ts[i], fx, fy, cx, cy, 160, 120)
+        for i in range(n)
+    ])
+    rgbs = (rng.random((n, 120, 160, 3)) * 255).astype(np.uint8)
+
+    # reference: python loop of jitted single-frame inserts
+    s_ref = gridhash.init_dense_map(1 << 16, 1 << 14)
+    ins = jax.jit(gridhash.insert_points)
+    for i in range(n):
+        pts, cols, valid = gridhash.backproject_frame(
+            jnp.asarray(depths[i]), jnp.asarray(rgbs[i]),
+            jnp.asarray(Rs[i]), jnp.asarray(ts[i]), fx, fy, cx, cy,
+            pixel_step=4,
+        )
+        s_ref = ins(s_ref, pts, cols, valid)
+
+    # scanned fusion with a chunk size that forces padding
+    s_scan = gridhash.init_dense_map(1 << 16, 1 << 14)
+    s_scan = gridhash.fuse_sequence(
+        s_scan, depths, rgbs, Rs, ts, fx, fy, cx, cy,
+        pixel_step=4, chunk=3,
+    )
+    n_ref, n_scan = int(s_ref.cloud_count), int(s_scan.cloud_count)
+    assert n_ref == n_scan and n_ref > 200, (n_ref, n_scan)
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.cloud_xyz)[:n_ref], np.asarray(s_scan.cloud_xyz)[:n_scan]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.cloud_rgb)[:n_ref], np.asarray(s_scan.cloud_rgb)[:n_scan]
+    )

@@ -92,7 +92,6 @@ class TrackState(NamedTuple):
     kf_R: jnp.ndarray  # (3, 3)
     kf_t: jnp.ndarray  # (3,)
     kf_frame_id: jnp.ndarray  # () int32
-    kf_map_idx: jnp.ndarray  # (K,) int32 — map point per KF keypoint (-1 none)
 
     # Previous frame (for bridge-keyframe promotion, `src/Slam.cpp:847-872`)
     prev_xy: jnp.ndarray  # (K, 2)
@@ -180,7 +179,6 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         kf_R=jnp.asarray(R0, f32),
         kf_t=jnp.asarray(t0, f32),
         kf_frame_id=jnp.asarray(-1, jnp.int32),
-        kf_map_idx=jnp.full(K, -1, jnp.int32),
         prev_xy=jnp.zeros((K, 2), f32),
         prev_desc=jnp.zeros((K, D), fdesc),
         prev_depth=jnp.zeros(K, f32),

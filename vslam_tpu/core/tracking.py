@@ -32,6 +32,7 @@ from vslam_tpu.ops import ekf as ekf_ops
 from vslam_tpu.ops import matching
 from vslam_tpu.ops import pnp as pnp_ops
 from vslam_tpu.ops import ransac as rs
+from vslam_tpu.ops import scale as scale_ops
 from vslam_tpu.ops import se3
 from vslam_tpu.ops import triangulate as tri
 
@@ -194,9 +195,17 @@ def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
         kf_d_ok = (depth_kf > config.camera.depth_min) & (
             depth_kf < config.camera.depth_max
         )
-        s_med, _ = _single_view_scale(
+        # Scale chain (`src/Slam.cpp:73-157` -> `:162-207` -> `:975-980`):
+        # prefer the two-view solve when BOTH depths are valid at >=10
+        # matches (per-match s = (P2 - R P1)·t̂, IQR + median), else the
+        # single-view x/y-constraint solve, else last good scale.
+        s2v, ok2v = scale_ops.two_view_scale(
+            Re, te, p_kf, p_cur, gated & d_ok & rese.inlier_mask, min_matches=10
+        )
+        s1v, _ = _single_view_scale(
             Re, te, p_kf, xn_cur, gated & kf_d_ok & rese.inlier_mask
         )
+        s_med = jnp.where(ok2v, s2v, s1v)
         scale = jnp.where(s_med > 0, s_med, state.last_scale)
         new_scale = jnp.where(s_med > 0, s_med, state.last_scale)
         return Re, te * scale, rese.ok, rese.num_inliers, new_scale
@@ -278,13 +287,17 @@ def _track_local_map(state: TrackState, frame, config, R_new, t_new):
         desc_thresh=config.map.track_desc_threshold,
     )
     # Update visibility / found counters (`src/Slam.cpp:1089-1108` does this
-    # per-KF; we fold it into per-frame tracking).
-    found_scatter = jnp.zeros_like(state.map.found).at[
-        jnp.where(kp_ok, mp_idx, 0)
-    ].add(jnp.where(kp_ok, 1, 0))
+    # per-KF; we fold it into per-frame tracking). "Found" is geometric, as
+    # in the reference (`:1099-1104`): any keypoint within
+    # TRACK_VISIBILITY_RADIUS of the projection counts.
+    r2 = config.map.track_visibility_radius_px**2
+    diff = uv_mp[:, None, :] - frame.xy[None, :, :]  # (M, K, 2)
+    d2_pix = jnp.sum(diff * diff, axis=-1)
+    d2_pix = jnp.where(frame.valid[None, :], d2_pix, jnp.inf)
+    found_inc = visible_mask & (jnp.min(d2_pix, axis=-1) < r2)
     map2 = state.map._replace(
         visible=state.map.visible + visible_mask.astype(jnp.int32),
-        found=state.map.found + found_scatter,
+        found=state.map.found + found_inc.astype(jnp.int32),
     )
     return mp_idx, kp_ok, map2
 
@@ -330,6 +343,59 @@ def _refine_pnp(state, frame, config, R_new, t_new, mp_idx, kp_ok, key):
     R_out = jnp.where(apply, R_ref, R_new)
     t_out = jnp.where(apply, t_ref, t_new)
     return R_out, t_out, jnp.where(apply, result.num_inliers, 0)
+
+
+def _reproject_cull(map_store: MapStore, frame, config, R_new, t_new, mp_idx, kp_ok):
+    """Reprojection-based cull of this keyframe's observed map points
+    (`src/Slam.cpp:473-500`): a point matched to keypoint i is invalidated
+    when it lands behind the camera (z < DEPTH_MIN) or reprojects more than
+    CULL_REPROJ_PX away from the keypoint. Runs at every keyframe."""
+    fx, fy, cx, cy = _intr(config)
+    M = map_store.valid.shape[0]
+    X = map_store.pos[jnp.clip(mp_idx, 0, M - 1)]
+    Rcw = R_new.T
+    tcw = -Rcw @ t_new
+    p_c = X @ Rcw.T + tcw
+    z = p_c[:, 2]
+    uv, _ = cam.project(p_c, fx, fy, cx, cy)
+    err2 = jnp.sum((uv - frame.xy) ** 2, axis=-1)
+    bad = kp_ok & (
+        (z < config.camera.depth_min) | (err2 > config.map.cull_reproj_px**2)
+    )
+    valid = map_store.valid.at[jnp.where(bad, mp_idx, M)].set(False, mode="drop")
+    return map_store._replace(valid=valid)
+
+
+def _periodic_pnp(st: TrackState, frame, config, R_new, t_new, mp_idx, kp_ok, key):
+    """Periodic global PnP re-localization every Nth keyframe
+    (`src/Slam.cpp:1477-1522`, knobs `include/Config.h:76-84`): a FRESH
+    RANSAC-PnP over this frame's observed map points — unlike the per-frame
+    GN refine it does not start from the current pose, so it can yank a
+    drifted trajectory back. Jump gate 1.5 m, blend 0.5.
+
+    Returns (R, t) after the gated blend.
+    """
+    fx, fy, cx, cy = _intr(config)
+    pc = config.pnp
+    M = st.map.pos.shape[0]
+    X = st.map.pos[jnp.clip(mp_idx, 0, M - 1)]
+    ok = kp_ok & st.map.valid[jnp.clip(mp_idx, 0, M - 1)]
+    res = pnp_ops.ransac_pnp(
+        key, X, frame.xy, ok, fx, fy, cx, cy,
+        num_hypotheses=pc.ransac_iters,
+        threshold_px=pc.ransac_threshold_px,
+        min_inliers=pc.min_points,
+        gn_iters=pc.gn_iters,
+    )
+    jump = jnp.linalg.norm(res.t - t_new)
+    apply = res.ok & (jump < pc.periodic_max_jump)
+    b = pc.periodic_blend
+    t_b = t_new + b * (res.t - t_new)
+    w = se3.log_so3(res.R @ R_new.T)
+    R_b = se3.exp_so3(w * b) @ R_new
+    R_out = jnp.where(apply, R_b, R_new)
+    t_out = jnp.where(apply, t_b, t_new)
+    return R_out, t_out
 
 
 def _make_keyframe(state: TrackState, frame, config, R_new, t_new, m, gated):
@@ -405,12 +471,9 @@ def _make_keyframe(state: TrackState, frame, config, R_new, t_new, m, gated):
     do_cull = jnp.mod(state.kf_count + 1, mc.cull_interval_kfs) == 0
     age = state.kf_count - map2.first_kf
     ratio = map2.found / jnp.maximum(map2.visible, 1)
-    young = age < 3
-    cull = (
-        map2.valid
-        & ((young & (ratio < mc.cull_found_ratio_young))
-           | (~young & (ratio < mc.cull_found_ratio_old) & (map2.num_obs <= 2)))
-        & (map2.visible >= 5)
+    cull = map2.valid & (
+        ((age >= 3) & (map2.visible > 0) & (ratio < mc.cull_found_ratio_young))
+        | ((age >= 5) & (map2.num_obs <= 2) & (ratio < mc.cull_found_ratio_old))
     )
     map3 = map2._replace(valid=jnp.where(do_cull, map2.valid & ~cull, map2.valid))
 
@@ -438,12 +501,15 @@ def _try_pnp_recovery(st: TrackState, frame: FrameFeatures, config: SlamConfig, 
     """
     fx, fy, cx, cy = _intr(config)
     pc = config.pnp
+    # The reference's recovery matcher is FLANN with ratio 0.7 on SQUARED
+    # L2 distances (`src/Slam.cpp:567-572`); the equivalent L2 ratio is
+    # sqrt(FLANN_RATIO_THRESHOLD).
     mres = matching.knn2_ratio_match(
         frame.desc,
         st.map.desc,
         frame.valid,
         st.map.valid,
-        ratio=config.frontend.l2_ratio_threshold,
+        ratio=config.frontend.flann_ratio_threshold**0.5,
         mutual=False,
     )
     X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
@@ -523,9 +589,10 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     nearby = st.map.valid & (
         jnp.abs(pt_kf_frame - cand_frame_id) <= lc.nearby_frame_range
     )
+    # FLANN ratio on squared distances, as in recovery (`src/Slam.cpp:767`).
     mres = matching.knn2_ratio_match(
         frame.desc, st.map.desc, frame.valid, nearby,
-        ratio=config.frontend.l2_ratio_threshold, mutual=False,
+        ratio=config.frontend.flann_ratio_threshold**0.5, mutual=False,
     )
     X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
     pnp_res = pnp_ops.ransac_pnp(
@@ -583,7 +650,7 @@ def tracking_step(
     thresholds cannot tolerate the TPU's default bf16 matmul passes
     (descriptor matmuls lose a little speed; correctness wins).
     """
-    k_match, k_motion, k_pnp, k_recover, k_loop = jax.random.split(key, 5)
+    k_match, k_motion, k_pnp, k_recover, k_loop, k_periodic = jax.random.split(key, 6)
 
     # Descriptors are stored/matched in bf16 (see core.state.init_state);
     # cast the incoming frame's once so every consumer agrees on dtype.
@@ -722,11 +789,6 @@ def tracking_step(
         )
         R_fin = R_ref
         t_fin = jnp.where(frame.stationary, st.t, t_ref)
-        # keep EKF position consistent with final pose; stationary frames
-        # zero the velocity (`src/Slam.cpp:640-655`)
-        x_new = ekf_st.x.at[:3].set(t_fin)
-        x_new = jnp.where(frame.stationary, x_new.at[3:].set(0.0), x_new)
-        ekf_st = ekf_st._replace(x=x_new)
 
         # Keyframe policy (`src/Slam.cpp:1062-1070, 1359-1368`)
         gap = frame.frame_id - st.kf_frame_id
@@ -750,16 +812,52 @@ def tracking_step(
 
         def kf_branch(s):
             s2 = _make_keyframe(s, frame, config, R_fin, t_fin, m, gated)
+            # Reprojection cull at EVERY keyframe (`src/Slam.cpp:724,
+            # 473-500`), on this frame's observed map-point associations.
+            s2 = s2._replace(
+                map=_reproject_cull(s2.map, frame, config, R_fin, t_fin, mp_idx, kp_ok)
+            )
+            # Periodic global PnP every PNP_INTERVAL-th keyframe
+            # (`src/Slam.cpp:1079-1081, 1477-1522`).
+            do_pnp = jnp.mod(s2.kf_count, config.pnp.interval) == 0
+            R_kf, t_kf = jax.lax.cond(
+                do_pnp,
+                lambda: _periodic_pnp(
+                    s2, frame, config, R_fin, t_fin, mp_idx, kp_ok, k_periodic
+                ),
+                lambda: (R_fin, t_fin),
+            )
+            # The reference's frame object IS the keyframe: set_pose after
+            # run_pnp updates the stored keyframe pose (`Slam.cpp:1520`).
+            slot = jnp.mod(s2.kf_count - 1, s2.keyframes.valid.shape[0])
+            s2 = s2._replace(
+                kf_R=R_kf,
+                kf_t=t_kf,
+                keyframes=s2.keyframes._replace(
+                    R=s2.keyframes.R.at[slot].set(R_kf),
+                    t=s2.keyframes.t.at[slot].set(t_kf),
+                ),
+            )
             # Loop closure every Nth keyframe (`src/Slam.cpp:1084-1086`).
             check = jnp.mod(s2.kf_count, config.loop.check_interval_kfs) == 0
-            return jax.lax.cond(
+            s3 = jax.lax.cond(
                 check,
-                lambda s3: _handle_loop_closure(s3, frame, config, R_fin, t_fin, k_loop),
-                lambda s3: s3,
+                lambda s4: _handle_loop_closure(s4, frame, config, R_kf, t_kf, k_loop),
+                lambda s4: s4,
                 s2,
             )
+            return s3, R_kf, t_kf
 
-        st_kf = jax.lax.cond(is_kf, kf_branch, lambda s: s, st)
+        st_kf, R_fin, t_fin = jax.lax.cond(
+            is_kf, kf_branch, lambda s: (s, R_fin, t_fin), st
+        )
+
+        # Keep EKF position consistent with the final (possibly periodic-
+        # PnP-blended) pose; stationary frames zero the velocity
+        # (`src/Slam.cpp:640-655`)
+        x_new = ekf_st.x.at[:3].set(t_fin)
+        x_new = jnp.where(frame.stationary, x_new.at[3:].set(0.0), x_new)
+        ekf_st = ekf_st._replace(x=x_new)
 
         st_out = st_kf._replace(
             R=R_fin,

@@ -13,8 +13,10 @@ accept of the reference's behavior at ~2x table load.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 # Large primes for coordinate hashing (same spirit as the reference's FNV
@@ -96,6 +98,70 @@ def insert_points(
     new_count = jnp.minimum(state.cloud_count + jnp.sum(win), N)
 
     return DenseMapState(tab_occ, tab_coord, cloud_xyz, cloud_rgb, new_count)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pixel_step", "max_depth", "voxel_size", "depth_min")
+)
+def fuse_chunk_scan(
+    state: DenseMapState, depths, rgbs, Rs, ts, fx, fy, cx, cy,
+    pixel_step=8, max_depth=5.0, voxel_size=0.02, depth_min=0.1,
+) -> DenseMapState:
+    """Dense accumulation over a CHUNK of frames as one jitted scan.
+
+    The reference accumulates per frame inside its hot loop
+    (`/root/reference/src/main.cpp:1081-1146`); a per-frame host dispatch
+    here would cost ~50 ms relay RTT each (CLAUDE.md), so the whole chunk
+    is state-threaded through `lax.scan` on device — O(1) dispatches.
+
+    depths: (N, H, W) float32 meters (0 = invalid); rgbs (N, H, W, 3) uint8
+    or None; Rs (N, 3, 3); ts (N, 3). Padding frames with all-zero depth is
+    a no-op insert.
+    """
+    if rgbs is None:
+        rgbs = jnp.zeros(depths.shape + (3,), jnp.uint8)
+
+    def step(st, inp):
+        depth, rgb, R, t = inp
+        pts, cols, valid = backproject_frame(
+            depth, rgb, R, t, fx, fy, cx, cy,
+            pixel_step=pixel_step, max_depth=max_depth, depth_min=depth_min,
+        )
+        return insert_points(st, pts, cols, valid, voxel_size), None
+
+    state, _ = jax.lax.scan(step, state, (depths, rgbs, Rs, ts))
+    return state
+
+
+def fuse_sequence(
+    state: DenseMapState, depths, rgbs, Rs, ts, fx, fy, cx, cy,
+    pixel_step=8, max_depth=5.0, voxel_size=0.02, depth_min=0.1,
+    chunk: int = 64,
+) -> DenseMapState:
+    """Fuse a whole sequence in fixed-size scanned chunks (bounds both the
+    per-dispatch transfer size and the compiled program's memory)."""
+    import numpy as np
+
+    N = depths.shape[0]
+    for k in range(0, N, chunk):
+        d = np.asarray(depths[k : k + chunk], np.float32)
+        r = None if rgbs is None else np.asarray(rgbs[k : k + chunk], np.uint8)
+        R = np.asarray(Rs[k : k + chunk], np.float32)
+        t = np.asarray(ts[k : k + chunk], np.float32)
+        pad = chunk - d.shape[0]
+        if pad:
+            d = np.concatenate([d, np.zeros((pad,) + d.shape[1:], d.dtype)])
+            if r is not None:
+                r = np.concatenate([r, np.zeros((pad,) + r.shape[1:], r.dtype)])
+            R = np.concatenate([R, np.tile(np.eye(3, dtype=R.dtype), (pad, 1, 1))])
+            t = np.concatenate([t, np.zeros((pad, 3), t.dtype)])
+        state = fuse_chunk_scan(
+            state, jnp.asarray(d), None if r is None else jnp.asarray(r),
+            jnp.asarray(R), jnp.asarray(t), fx, fy, cx, cy,
+            pixel_step=pixel_step, max_depth=max_depth,
+            voxel_size=voxel_size, depth_min=depth_min,
+        )
+    return state
 
 
 def backproject_frame(
