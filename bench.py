@@ -1,17 +1,24 @@
-"""End-to-end benchmark: SuperPoint frontend + tracking scan on one chip.
+"""End-to-end benchmark: SuperPoint frontend + tracking + dense fusion +
+PGO/BA backend on one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/200}
 
-Baseline (BASELINE.md): >= 200 frames/sec/chip end-to-end (SuperPoint +
-track + BA) at ATE RMSE <= 0.14 m. The reference publishes only "real
-time" (~30 fps sensor rate) on GPU.
+Baseline (BASELINE.md): >= 200 frames/sec/chip end-to-end at ATE RMSE
+<= 0.14 m. The reference publishes only "real time" (~30 fps sensor rate)
+on GPU; its per-frame loop includes dense voxel accumulation
+(`/root/reference/src/main.cpp:1081-1146`), so the dense-fusion scan is
+part of the per-frame metric here too.
 
-The pipeline measured here mirrors the production layout: batched
-SuperPoint inference saturates the MXU across frame chunks while the
-sequential tracking state machine runs as a `lax.scan`; fps is computed
-from total wall time over all frames. ATE comes from the synthetic
-ground-truth oracle (no TUM data in this image; see SURVEY.md §4).
+Methodology (axon relay: ~50 ms dispatch RTT, block_until_ready does not
+synchronize — CLAUDE.md):
+  * every stage is ONE jitted program scanned over the whole workload,
+    with a scalar host readback as the completion barrier;
+  * 2 warm-up runs per stage (compile + autotune), then TIMED_ITERS timed
+    runs each ending in a readback; the reported number is the MEDIAN and
+    `detail.fps_spread` records (max-min)/median across iterations — the
+    round-1 headline did not reproduce under the driver, so run-to-run
+    variance is now part of the result.
 """
 
 from __future__ import annotations
@@ -22,6 +29,27 @@ import time
 
 import numpy as np
 
+TIMED_ITERS = 5
+WARMUP_ITERS = 2
+
+
+def _timed(fn, readback, iters=TIMED_ITERS, warmup=WARMUP_ITERS):
+    """Run fn() (returning a chain value) warmup+iters times; readback(x)
+    forces completion. Returns list of per-iteration seconds."""
+    for _ in range(warmup):
+        readback(fn())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        readback(fn())
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def _spread(ts):
+    m = float(np.median(ts))
+    return float((max(ts) - min(ts)) / m) if m > 0 else 0.0
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -29,12 +57,18 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
     ap.add_argument("--frames", type=int, default=0, help="tracked frames (0 = default)")
     ap.add_argument("--no-frontend", action="store_true", help="skip SuperPoint timing")
+    ap.add_argument("--no-dense", action="store_true", help="skip dense fusion timing")
     ap.add_argument(
-        "--multi", type=int, default=0,
-        help="ALSO measure batched multi-sequence tracking (B sequences "
-        "vmapped on this chip — the production throughput configuration)",
+        "--multi", type=int, default=-1,
+        help="batch size for multi-sequence tracking (production per-chip "
+        "throughput config; -1 = default 4, 0 = skip)",
     )
+    ap.add_argument("--iters", type=int, default=0, help="timed iterations per stage")
     args = ap.parse_args()
+
+    global TIMED_ITERS
+    if args.iters:
+        TIMED_ITERS = args.iters
 
     import jax
 
@@ -46,33 +80,30 @@ def main():
     from vslam_tpu.core import pipeline
     from vslam_tpu.data import synthetic
     from vslam_tpu.models import superpoint as sp
-    from vslam_tpu.ops import nms
+    from vslam_tpu.ops import gridhash, nms
 
     dev = jax.devices()[0]
 
     if args.tiny:
         cfg = tiny_test_config()
         n_frames = args.frames or 16
-        sp_batch, sp_iters = 2, 2
+        sp_batch = 2
         n_landmarks = 800
+        multi_b = 2 if args.multi == -1 else args.multi
     else:
         cfg = SlamConfig()
         # Default workload sized like TUM fr2_pioneer_slam3 at FRAME_STEP=3:
         # ~848 processed frames (BASELINE.md).
         n_frames = args.frames or 848
-        sp_batch, sp_iters = 32, 4
+        sp_batch = 32
         n_landmarks = 6000
+        multi_b = 4 if args.multi == -1 else args.multi
 
     c = cfg.camera
 
     # ---------------- Frontend: SuperPoint forward + decode ----------------
-    # Timing methodology: dispatch through the axon relay costs ~50 ms RTT
-    # and its block_until_ready does not truly synchronize, so the
-    # production-shaped measurement is a SINGLE jitted program that scans
-    # the frontend over all frame chunks on device, with one host readback
-    # forcing completion. (A per-batch Python loop would measure relay
-    # latency, not TPU throughput.)
     sp_fps = float("inf")
+    sp_sprd = 0.0
     if not args.no_frontend:
         params = sp.init_params(jax.random.PRNGKey(0), height=c.height, width=c.width)
         model = sp.SuperPoint()
@@ -81,10 +112,8 @@ def main():
         @jax.jit
         def frontend_sequence(params, chunks, chain):
             """chunks: (C, B, H, W, 1) uint8 -> scan frontend over chunks.
-
             Frames live in HBM as uint8 (4x less traffic than f32) and are
-            normalized on-device per chunk — production ingest does the
-            same (the native loader hands over uint8)."""
+            normalized on-device per chunk, like production ingest."""
 
             def step(carry, images_u8):
                 images = images_u8.astype(jnp.float32) / 255.0
@@ -105,14 +134,12 @@ def main():
                 0, 255, (n_chunks, sp_batch, c.height, c.width, 1), dtype=np.uint8
             )
         )
-        chain = jnp.asarray(0.0, jnp.float32)
-        ch, _ = frontend_sequence(params, chunks, chain)
-        float(ch)  # warm + force completion
-        t0 = time.perf_counter()
-        for _ in range(sp_iters):
-            ch, _ = frontend_sequence(params, chunks, ch * 0.0)
-        float(ch)
-        dt_sp = (time.perf_counter() - t0) / sp_iters
+        chain0 = jnp.asarray(0.0, jnp.float32)
+        ts = _timed(
+            lambda: frontend_sequence(params, chunks, chain0)[0], float
+        )
+        dt_sp = float(np.median(ts))
+        sp_sprd = _spread(ts)
         sp_fps = n_chunks * sp_batch / dt_sp
 
     # ---------------- Tracking scan ----------------
@@ -131,33 +158,60 @@ def main():
     gravity, h0 = pipeline.compute_gravity_direction(seq.accel, np.eye(3, dtype=np.float32))
     state0 = init_state(cfg, gravity=gravity, initial_height=h0)
 
-    # Warm-up/compile, then chained timed runs with final readback.
-    import jax.numpy as _jnp
-
     @jax.jit
-    def scan_chained(state, frames, chain):
-        st = state._replace(t=state.t + 0.0 * chain)
-        fs, outs = _scan_sequence(st, frames, cfg, 42)
-        return fs, outs, _jnp.sum(outs.t)
+    def scan_chained(state, frames):
+        fs, outs = _scan_sequence(state, frames, cfg, 42)
+        return jnp.sum(outs.t)
 
-    fs, outs, ch = scan_chained(state0, frames, _jnp.asarray(0.0, _jnp.float32))
-    float(ch)
-    iters = 4
-    t0 = time.perf_counter()
-    c0 = _jnp.asarray(0.0, _jnp.float32)
-    for _ in range(iters):
-        fs, outs, ch = scan_chained(state0, frames, c0)
-        c0 = ch * 0.0
-    float(ch)
-    dt_track = (time.perf_counter() - t0) / iters
+    ts = _timed(lambda: scan_chained(state0, frames), float)
+    dt_track = float(np.median(ts))
+    track_sprd = _spread(ts)
     track_fps = n_frames / dt_track
+
+    # ---------------- Dense voxel fusion (per-frame in the reference) ------
+    dense_fps = float("inf")
+    dense_sprd = 0.0
+    if not args.no_dense:
+        # Synthetic room depth+color stream resident in HBM (uint8/f32),
+        # poses from the tracked trajectory shape.
+        kd = jax.random.PRNGKey(1)
+        H, W = c.height, c.width
+        depth_frames = jax.random.uniform(
+            kd, (n_frames, H, W), jnp.float32, 0.3, 6.0
+        )
+        rgb_frames = jax.random.randint(
+            jax.random.PRNGKey(2), (n_frames, H, W, 3), 0, 255, jnp.uint8
+        )
+        Rs = jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_frames, 1, 1))
+        t_path = jnp.asarray(seq.t, jnp.float32)
+
+        @jax.jit
+        def dense_chained(depths, rgbs, Rs, ts_):
+            st = gridhash.init_dense_map(
+                cfg.dense.hash_capacity, cfg.dense.cloud_capacity
+            )
+            st = gridhash.fuse_chunk_scan(
+                st, depths, rgbs, Rs, ts_, c.fx, c.fy, c.cx, c.cy,
+                pixel_step=cfg.dense.pixel_step, max_depth=cfg.dense.max_depth,
+                voxel_size=cfg.dense.voxel_size,
+            )
+            return st.cloud_count
+
+        ts = _timed(
+            lambda: dense_chained(depth_frames, rgb_frames, Rs, t_path),
+            lambda x: int(x),
+        )
+        dt_dense = float(np.median(ts))
+        dense_sprd = _spread(ts)
+        dense_fps = n_frames / dt_dense
 
     # ---------------- Batched multi-sequence tracking ----------------
     multi_fps = None
-    if args.multi:
+    multi_sprd = None
+    if multi_b:
         from vslam_tpu.parallel import mesh as pmesh
 
-        B = args.multi
+        B = multi_b
         seqs = [
             synthetic.make_sequence(
                 num_frames=n_frames,
@@ -174,13 +228,20 @@ def main():
             *[pipeline.features_from_synthetic(s) for s in seqs],
         )
         mstates = pmesh.replicate_state(cfg, B)
-        fs, outs = pmesh.batched_tracking_scan(mstates, mframes, cfg)
-        float(jnp.sum(outs.t))  # warm + complete
-        t0 = time.perf_counter()
-        for _ in range(2):
-            fs, outs = pmesh.batched_tracking_scan(mstates, mframes, cfg)
-            float(jnp.sum(outs.t))
-        dt_multi = (time.perf_counter() - t0) / 2
+
+        from vslam_tpu.core.tracking_batched import batched_tracking_scan
+
+        @jax.jit
+        def multi_chained(states, frames):
+            fs, outs = batched_tracking_scan(states, frames, cfg, 42)
+            return jnp.sum(outs.t)
+
+        ts = _timed(
+            lambda: multi_chained(mstates, mframes), float,
+            iters=max(TIMED_ITERS - 2, 2),
+        )
+        dt_multi = float(np.median(ts))
+        multi_sprd = _spread(ts)
         multi_fps = B * n_frames / dt_multi
 
     # ---------------- ATE oracle + backend passes ----------------
@@ -189,10 +250,8 @@ def main():
     result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
 
     # Backend (PGO + windowed BA) runs once per sequence; amortize its wall
-    # time into the per-frame cost so the metric covers the baseline's
-    # full "SuperPoint + track + BA" definition. (The reference ships with
-    # local BA disabled, Config.h:99 — ours is on for this measurement.)
-    # Warm-up first: jit compilation must not count as runtime.
+    # time into the per-frame cost (reference ships local BA disabled,
+    # Config.h:99 — ours is on for this measurement). Warm first.
     result_b = pipeline.run_posthoc_pgo(result, cfg)
     result_b = pipeline.run_windowed_ba(result_b, cfg)
     t0 = time.perf_counter()
@@ -208,14 +267,31 @@ def main():
     per_frame = (
         (0.0 if args.no_frontend else 1.0 / sp_fps)
         + 1.0 / track_fps
+        + (0.0 if args.no_dense else 1.0 / dense_fps)
         + backend_s / n_frames
     )
     fps = 1.0 / per_frame
+    # Production multi-sequence configuration: B sequences per chip share
+    # the frontend/dense scans (per-frame cost identical) and the batched
+    # tracking step; backend runs once per sequence.
+    multi_e2e = None
+    if multi_fps:
+        pf_multi = (
+            (0.0 if args.no_frontend else 1.0 / sp_fps)
+            + 1.0 / multi_fps * 1.0  # aggregate tracking cost per frame
+            + (0.0 if args.no_dense else 1.0 / dense_fps)
+            + backend_s / n_frames
+        )
+        multi_e2e = 1.0 / pf_multi
+
+    spread = max(
+        [s for s in (sp_sprd, track_sprd, dense_sprd) if s is not None] or [0.0]
+    )
 
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip end-to-end (SuperPoint + track + PGO/BA backend)",
+                "metric": "frames/sec/chip end-to-end (SuperPoint + track + dense fusion + PGO/BA backend)",
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 200.0, 3),
@@ -223,9 +299,20 @@ def main():
                     "device": str(dev),
                     "frontend_fps": None if args.no_frontend else round(sp_fps, 2),
                     "tracking_fps": round(track_fps, 2),
+                    "dense_fusion_fps": None if args.no_dense else round(dense_fps, 2),
                     "multi_seq_tracking_fps": None if multi_fps is None else round(multi_fps, 2),
+                    "multi_seq_batch": multi_b or None,
+                    "multi_seq_e2e_fps": None if multi_e2e is None else round(multi_e2e, 2),
                     "frames": n_frames,
                     "backend_s": round(backend_s, 3),
+                    "timed_iters": TIMED_ITERS,
+                    "fps_spread": round(spread, 4),
+                    "stage_spread": {
+                        "frontend": round(sp_sprd, 4),
+                        "tracking": round(track_sprd, 4),
+                        "dense": round(dense_sprd, 4),
+                        "multi": None if multi_sprd is None else round(multi_sprd, 4),
+                    },
                     "ate_rmse_synthetic_m": round(ate_res.rmse, 4),
                     "ate_rmse_after_backend_m": round(ate_backend.rmse, 4),
                 },

@@ -1,0 +1,101 @@
+"""Equivalence of the hand-batched multi-sequence step vs per-sequence
+scans (`core.tracking_batched` vs `core.tracking`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.config import tiny_test_config
+from vslam_tpu.core import pipeline
+from vslam_tpu.core.pipeline import _scan_sequence, features_from_synthetic
+from vslam_tpu.core.state import init_state
+from vslam_tpu.core.tracking_batched import batched_tracking_scan
+from vslam_tpu.data import synthetic
+
+
+def _make_batch(cfg, B=3, N=12):
+    c = cfg.camera
+    seqs = [
+        synthetic.make_sequence(
+            num_frames=N, max_keypoints=cfg.frontend.max_keypoints,
+            desc_dim=cfg.frontend.descriptor_dim,
+            fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+            width=c.width, height=c.height,
+            seed=s, num_landmarks=800,
+        )
+        for s in range(B)
+    ]
+    frames = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[features_from_synthetic(s) for s in seqs]
+    )
+    return seqs, frames
+
+
+def test_batched_step_matches_per_sequence_scans():
+    cfg = tiny_test_config()
+    B, N = 3, 12
+    seqs, frames = _make_batch(cfg, B, N)
+
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_state(cfg)
+    )
+    fsb, outsb = batched_tracking_scan(states, frames, cfg, seed=42)
+
+    for b in range(B):
+        f1 = jax.tree.map(lambda x: x[b], frames)
+        fs1, outs1 = _scan_sequence(init_state(cfg), f1, cfg, 42)
+        # Diagnostics must agree exactly (same branches taken)
+        np.testing.assert_array_equal(
+            np.asarray(outsb.is_keyframe[b]), np.asarray(outs1.is_keyframe)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outsb.num_matches[b]), np.asarray(outs1.num_matches)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outsb.used_3d3d[b]), np.asarray(outs1.used_3d3d)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outsb.tracking_ok[b]), np.asarray(outs1.tracking_ok)
+        )
+        # Poses: identical math modulo batched-matmul reduction order
+        np.testing.assert_allclose(
+            np.asarray(outsb.t[b]), np.asarray(outs1.t), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(outsb.R[b]), np.asarray(outs1.R), atol=2e-4
+        )
+        # Final state agreement on the core counters
+        assert int(fsb.kf_count[b]) == int(fs1.kf_count)
+        assert int(np.asarray(fsb.map.valid[b]).sum()) == int(
+            np.asarray(fs1.map.valid).sum()
+        )
+
+
+def test_batched_step_handles_feature_dropout():
+    """One member loses features mid-batch (recovery path fires for it
+    alone); the others must be unaffected."""
+    cfg = tiny_test_config()
+    B, N = 2, 14
+    seqs, frames = _make_batch(cfg, B, N)
+    # Blank member 1's features for 2 frames
+    valid = np.array(frames.valid)
+    valid[1, 7:9] = False
+    frames = frames._replace(valid=jnp.asarray(valid))
+
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_state(cfg)
+    )
+    fsb, outsb = batched_tracking_scan(states, frames, cfg, seed=42)
+    ok = np.asarray(outsb.tracking_ok)
+    assert not ok[1, 7] and not ok[1, 8]
+
+    # Member 0 must match its solo run exactly (the hoisted recovery block
+    # ran for the batch but member 0's select must keep its own result).
+    f0 = jax.tree.map(lambda x: x[0], frames)
+    _, outs0 = _scan_sequence(init_state(cfg), f0, cfg, 42)
+    np.testing.assert_allclose(
+        np.asarray(outsb.t[0]), np.asarray(outs0.t), atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outsb.is_keyframe[0]), np.asarray(outs0.is_keyframe)
+    )

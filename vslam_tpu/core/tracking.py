@@ -138,10 +138,11 @@ def _match_to_keyframe(state: TrackState, frame: FrameFeatures, config: SlamConf
     return m, uv_kf, uv_cur, m.valid, n_raw
 
 
-def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
-    """3D-3D preferred, Essential+scale fallback (`src/Slam.cpp:953-984`).
+def _motion_3d3d(state, frame, config, m, uv_kf, uv_cur, gated, key):
+    """3D-3D RANSAC part of motion estimation (`src/Slam.cpp:214-375`).
 
-    Returns (R_new, t_new, used_3d3d, motion_ok, n_inliers).
+    Returns (R3, t3, res3, p_kf, p_cur, d_ok) — the back-projections are
+    reused by the Essential fallback's scale chain.
     """
     fx, fy, cx, cy = _intr(config)
     mc = config.motion
@@ -158,9 +159,8 @@ def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
     p_kf = cam.backproject(uv_kf, depth_kf, fx, fy, cx, cy)
     p_cur = cam.backproject(uv_cur, depth_cur, fx, fy, cx, cy)
 
-    k1, k2 = jax.random.split(key)
     R3, t3, res3 = rs.ransac_kabsch_3d3d(
-        k1,
+        key,
         p_kf,
         p_cur,
         valid3d,
@@ -170,45 +170,68 @@ def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
         min_translation=mc.r3d_min_translation,
         min_inliers=config.frontend.min_inliers,
     )
+    return R3, t3, res3, p_kf, p_cur, d_ok
+
+
+def _motion_essential(state, frame, config, uv_kf, uv_cur, gated,
+                      p_kf, p_cur, d_ok, key):
+    """Essential fallback + depth-derived scale — only executed when
+    the 3D-3D path fails (`src/Slam.cpp:966-984`). The fundamental gate
+    (`src/Slam.cpp:879-910`) runs here first — this is the path it
+    protects. Returns (Re, te_scaled, ok, n_inliers, new_scale)."""
+    fx, fy, cx, cy = _intr(config)
+    mc = config.motion
+    depth_kf = state.kf_depth
+    kf1, kf2 = jax.random.split(key)
+    _, fres = rs.ransac_fundamental(
+        kf1, uv_kf, uv_cur, gated,
+        num_hypotheses=mc.fm_ransac_iters,
+        threshold_px=mc.fm_ransac_threshold_px,
+    )
+    gated_f = jnp.where(fres.ok, gated & fres.inlier_mask, gated)
+    Re, te, E, rese = rs.ransac_essential(
+        kf2, uv_kf, uv_cur, gated_f, fx, fy, cx, cy,
+        num_hypotheses=mc.em_ransac_iters,
+        threshold_px=mc.em_ransac_threshold_px,
+        min_inliers=config.frontend.min_inliers,
+    )
+    xn_cur = cam.normalize_pixels(uv_cur, fx, fy, cx, cy)
+    kf_d_ok = (depth_kf > config.camera.depth_min) & (
+        depth_kf < config.camera.depth_max
+    )
+    # Scale chain (`src/Slam.cpp:73-157` -> `:162-207` -> `:975-980`):
+    # prefer the two-view solve when BOTH depths are valid at >=10
+    # matches (per-match s = (P2 - R P1)·t̂, IQR + median), else the
+    # single-view x/y-constraint solve, else last good scale.
+    s2v, ok2v = scale_ops.two_view_scale(
+        Re, te, p_kf, p_cur, gated & d_ok & rese.inlier_mask, min_matches=10
+    )
+    s1v, _ = _single_view_scale(
+        Re, te, p_kf, xn_cur, gated & kf_d_ok & rese.inlier_mask
+    )
+    s_med = jnp.where(ok2v, s2v, s1v)
+    scale = jnp.where(s_med > 0, s_med, state.last_scale)
+    new_scale = jnp.where(s_med > 0, s_med, state.last_scale)
+    return Re, te * scale, rese.ok, rese.num_inliers, new_scale
+
+
+def _estimate_motion(state, frame, config, m, uv_kf, uv_cur, gated, key):
+    """3D-3D preferred, Essential+scale fallback (`src/Slam.cpp:953-984`).
+
+    Returns (R_new, t_new, used_3d3d, motion_ok, n_inliers).
+    """
+    k1, k2 = jax.random.split(key)
+    R3, t3, res3, p_kf, p_cur, d_ok = _motion_3d3d(
+        state, frame, config, m, uv_kf, uv_cur, gated, k1
+    )
     use_3d3d = res3.ok & jnp.asarray(config.rgbd)
 
     def essential_branch():
-        """Essential fallback + depth-derived scale — only executed when
-        the 3D-3D path fails (`src/Slam.cpp:966-984`); a lax.cond so the
-        expensive 8-point RANSAC is skipped on healthy RGB-D frames.
-        The fundamental gate (`src/Slam.cpp:879-910`) runs here first —
-        this is the path it protects."""
-        kf1, kf2 = jax.random.split(k2)
-        _, fres = rs.ransac_fundamental(
-            kf1, uv_kf, uv_cur, gated,
-            num_hypotheses=mc.fm_ransac_iters,
-            threshold_px=mc.fm_ransac_threshold_px,
+        # lax.cond so the expensive 8-point RANSAC is skipped on healthy
+        # RGB-D frames.
+        return _motion_essential(
+            state, frame, config, uv_kf, uv_cur, gated, p_kf, p_cur, d_ok, k2
         )
-        gated_f = jnp.where(fres.ok, gated & fres.inlier_mask, gated)
-        Re, te, E, rese = rs.ransac_essential(
-            kf2, uv_kf, uv_cur, gated_f, fx, fy, cx, cy,
-            num_hypotheses=mc.em_ransac_iters,
-            threshold_px=mc.em_ransac_threshold_px,
-            min_inliers=config.frontend.min_inliers,
-        )
-        xn_cur = cam.normalize_pixels(uv_cur, fx, fy, cx, cy)
-        kf_d_ok = (depth_kf > config.camera.depth_min) & (
-            depth_kf < config.camera.depth_max
-        )
-        # Scale chain (`src/Slam.cpp:73-157` -> `:162-207` -> `:975-980`):
-        # prefer the two-view solve when BOTH depths are valid at >=10
-        # matches (per-match s = (P2 - R P1)·t̂, IQR + median), else the
-        # single-view x/y-constraint solve, else last good scale.
-        s2v, ok2v = scale_ops.two_view_scale(
-            Re, te, p_kf, p_cur, gated & d_ok & rese.inlier_mask, min_matches=10
-        )
-        s1v, _ = _single_view_scale(
-            Re, te, p_kf, xn_cur, gated & kf_d_ok & rese.inlier_mask
-        )
-        s_med = jnp.where(ok2v, s2v, s1v)
-        scale = jnp.where(s_med > 0, s_med, state.last_scale)
-        new_scale = jnp.where(s_med > 0, s_med, state.last_scale)
-        return Re, te * scale, rese.ok, rese.num_inliers, new_scale
 
     def skip_branch():
         return R3, t3, res3.ok, res3.num_inliers, state.last_scale
@@ -637,6 +660,75 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     return st._replace(loops=loops)
 
 
+def _bridge(s: TrackState, frame: FrameFeatures, config: SlamConfig, key):
+    """Bridge-keyframe promotion (`src/Slam.cpp:847-872`): promote the
+    previous frame to keyframe (depth-backprojected points only) and
+    re-match the current frame against it."""
+    prev = FrameFeatures(
+        xy=s.prev_xy,
+        desc=s.prev_desc,
+        depth=s.prev_depth,
+        valid=s.prev_valid,
+        timestamp=s.last_time,
+        stationary=jnp.asarray(False),
+        frame_id=s.prev_frame_id,
+    )
+    K = s.prev_xy.shape[0]
+    m_dummy = matching.MatchResult(
+        jnp.arange(K, dtype=jnp.int32),
+        jnp.zeros(K, dtype=bool),
+        jnp.zeros(K),
+    )
+    s2 = _make_keyframe(
+        s, prev, config, s.prev_R, s.prev_t, m_dummy,
+        jnp.zeros(K, dtype=bool),
+    )
+    m2, uv_kf2, uv_cur2, gated2, n_raw2 = _match_to_keyframe(s2, frame, config, key)
+    return s2, m2, uv_kf2, uv_cur2, gated2, n_raw2
+
+
+def _bootstrap(st: TrackState, frame: FrameFeatures, config: SlamConfig):
+    """First frame: become the first keyframe at the initial pose
+    (`src/Slam.cpp:826-839`)."""
+    m_dummy = matching.MatchResult(
+        jnp.arange(frame.xy.shape[0], dtype=jnp.int32),
+        jnp.zeros(frame.xy.shape[0], dtype=bool),
+        jnp.zeros(frame.xy.shape[0]),
+    )
+    st2 = _make_keyframe(
+        st, frame, config, st.R, st.t, m_dummy,
+        jnp.zeros(frame.xy.shape[0], dtype=bool),
+    )
+    ekf0 = ekf_ops.initialize(st.t, frame.timestamp)
+    eye6 = jnp.eye(6, dtype=st.t.dtype)
+    out = StepOutputs(
+        R=st.R, t=st.t, timestamp=frame.timestamp,
+        x_pred=ekf0.x, P_pred=eye6, x_filt=ekf0.x, P_filt=ekf0.P,
+        dt=jnp.asarray(0.0, st.t.dtype),
+        num_matches=jnp.asarray(0, jnp.int32),
+        num_inliers=jnp.asarray(0, jnp.int32),
+        num_tracked=jnp.asarray(0, jnp.int32),
+        is_keyframe=jnp.asarray(True),
+        used_3d3d=jnp.asarray(False),
+        tracking_ok=jnp.asarray(True),
+    )
+    return (
+        st2._replace(
+            ekf=ekf0,
+            frame_idx=st.frame_idx + 1,
+            last_time=frame.timestamp,
+            prev_xy=frame.xy,
+            prev_desc=frame.desc,
+            prev_depth=frame.depth,
+            prev_valid=frame.valid,
+            prev_R=st.R,
+            prev_t=st.t,
+            prev_frame_id=frame.frame_id,
+        ),
+        out,
+    )
+
+
 from vslam_tpu.ops.linalg import f32_matmuls
 
 
@@ -657,45 +749,7 @@ def tracking_step(
     frame = frame._replace(desc=frame.desc.astype(state.kf_desc.dtype))
 
     def bootstrap(st: TrackState):
-        """First frame: become the first keyframe at the initial pose
-        (`src/Slam.cpp:826-839`)."""
-        m_dummy = matching.MatchResult(
-            jnp.arange(frame.xy.shape[0], dtype=jnp.int32),
-            jnp.zeros(frame.xy.shape[0], dtype=bool),
-            jnp.zeros(frame.xy.shape[0]),
-        )
-        st2 = _make_keyframe(
-            st, frame, config, st.R, st.t, m_dummy,
-            jnp.zeros(frame.xy.shape[0], dtype=bool),
-        )
-        ekf0 = ekf_ops.initialize(st.t, frame.timestamp)
-        eye6 = jnp.eye(6, dtype=st.t.dtype)
-        out = StepOutputs(
-            R=st.R, t=st.t, timestamp=frame.timestamp,
-            x_pred=ekf0.x, P_pred=eye6, x_filt=ekf0.x, P_filt=ekf0.P,
-            dt=jnp.asarray(0.0, st.t.dtype),
-            num_matches=jnp.asarray(0, jnp.int32),
-            num_inliers=jnp.asarray(0, jnp.int32),
-            num_tracked=jnp.asarray(0, jnp.int32),
-            is_keyframe=jnp.asarray(True),
-            used_3d3d=jnp.asarray(False),
-            tracking_ok=jnp.asarray(True),
-        )
-        return (
-            st2._replace(
-                ekf=ekf0,
-                frame_idx=st.frame_idx + 1,
-                last_time=frame.timestamp,
-                prev_xy=frame.xy,
-                prev_desc=frame.desc,
-                prev_depth=frame.depth,
-                prev_valid=frame.valid,
-                prev_R=st.R,
-                prev_t=st.t,
-                prev_frame_id=frame.frame_id,
-            ),
-            out,
-        )
+        return _bootstrap(st, frame, config)
 
     def track(st: TrackState):
         m, uv_kf, uv_cur, gated, n_raw = _match_to_keyframe(st, frame, config, k_match)
@@ -710,33 +764,11 @@ def tracking_step(
             & (st.prev_frame_id != st.kf_frame_id)
         )
 
-        def bridge(s):
-            prev = FrameFeatures(
-                xy=s.prev_xy,
-                desc=s.prev_desc,
-                depth=s.prev_depth,
-                valid=s.prev_valid,
-                timestamp=s.last_time,
-                stationary=jnp.asarray(False),
-                frame_id=s.prev_frame_id,
-            )
-            K = s.prev_xy.shape[0]
-            m_dummy = matching.MatchResult(
-                jnp.arange(K, dtype=jnp.int32),
-                jnp.zeros(K, dtype=bool),
-                jnp.zeros(K),
-            )
-            s2 = _make_keyframe(
-                s, prev, config, s.prev_R, s.prev_t, m_dummy,
-                jnp.zeros(K, dtype=bool),
-            )
-            m2, uv_kf2, uv_cur2, gated2, n_raw2 = _match_to_keyframe(
-                s2, frame, config, k_match
-            )
-            return s2, m2, uv_kf2, uv_cur2, gated2, n_raw2
-
         st, m, uv_kf, uv_cur, gated, n_raw = jax.lax.cond(
-            can_bridge, bridge, lambda s: (s, m, uv_kf, uv_cur, gated, n_raw), st
+            can_bridge,
+            lambda s: _bridge(s, frame, config, k_match),
+            lambda s: (s, m, uv_kf, uv_cur, gated, n_raw),
+            st,
         )
         n_matches = jnp.sum(gated)
 
