@@ -102,9 +102,17 @@ def main():
     # ---- MiDaS mono depth (reference C7, latent there; live here) ----
     if args.mono and args.midas:
         from vslam_tpu.models import midas as midas_mod
+        from vslam_tpu.models import weights as weights_mod
 
-        mp = midas_mod.init_params(jax.random.PRNGKey(7))
-        est = jax.jit(lambda p, im: midas_mod.estimate_depth(p, im))
+        mp, midas_src = weights_mod.load_or_init_midas(
+            size=cfg.frontend.midas_input_size
+        )
+        print(f"[midas] weights: {midas_src}")
+        est = jax.jit(
+            lambda p, im: midas_mod.estimate_depth(
+                p, im, size=cfg.frontend.midas_input_size
+            )
+        )
         t0 = time.perf_counter()
         rel = []
         for k in range(0, len(idxs), 8):

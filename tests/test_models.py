@@ -149,3 +149,101 @@ def test_frontend_factory_orb():
     assert xy.shape == (2, K, 2)
     assert desc.shape == (2, K, D)
     assert int(np.asarray(valid).sum()) > 20
+
+
+def test_midas_pth_conversion(tmp_path):
+    """Converter maps a MidasNet_small-layout state_dict (timm
+    efficientnet_lite3 + scratch decoder) onto our Flax tree — fabricated
+    checkpoint with the real key names and analytically-derived shapes."""
+    import torch
+
+    from vslam_tpu.models import midas, weights as w
+
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def add_conv(name, o, i, k):
+        sd[f"{name}.weight"] = torch.randn((o, i, k, k), generator=g) * 0.05
+
+    def add_convb(name, o, i, k):
+        add_conv(name, o, i, k)
+        sd[f"{name}.bias"] = torch.randn((o,), generator=g) * 0.05
+
+    def add_bn(name, c):
+        sd[f"{name}.weight"] = torch.rand((c,), generator=g) + 0.5
+        sd[f"{name}.bias"] = torch.randn((c,), generator=g) * 0.05
+        sd[f"{name}.running_mean"] = torch.randn((c,), generator=g) * 0.05
+        sd[f"{name}.running_var"] = torch.rand((c,), generator=g) + 0.5
+
+    # --- encoder: lite3 channel plan derived from the B0 spec ---
+    b0 = [(1, 3, 16), (6, 3, 24), (6, 5, 40), (6, 3, 80), (6, 5, 112),
+          (6, 5, 192), (6, 3, 320)]
+    chs = [midas._round_filters(c) for _, _, c in b0]  # 24,32,48,96,136,232,384
+    reps = [1, 3, 3, 5, 5, 6, 1]
+    stage_prefix = {0: "pretrained.layer1.3", 1: "pretrained.layer1.4",
+                    2: "pretrained.layer2.0", 3: "pretrained.layer3.0",
+                    4: "pretrained.layer3.1", 5: "pretrained.layer4.0",
+                    6: "pretrained.layer4.1"}
+    add_conv("pretrained.layer1.0", 32, 3, 3)  # stem
+    add_bn("pretrained.layer1.1", 32)
+    c_in = 32
+    for si, r in enumerate(reps):
+        e, k, _ = b0[si]
+        for bi in range(r):
+            tp = f"{stage_prefix[si]}.{bi}"
+            if si == 0:
+                sd[f"{tp}.conv_dw.weight"] = torch.randn((c_in, 1, k, k), generator=g) * 0.05
+                add_bn(f"{tp}.bn1", c_in)
+                add_conv(f"{tp}.conv_pw", chs[si], c_in, 1)
+                add_bn(f"{tp}.bn2", chs[si])
+            else:
+                mid = c_in * e
+                add_conv(f"{tp}.conv_pw", mid, c_in, 1)
+                add_bn(f"{tp}.bn1", mid)
+                sd[f"{tp}.conv_dw.weight"] = torch.randn((mid, 1, k, k), generator=g) * 0.05
+                add_bn(f"{tp}.bn2", mid)
+                add_conv(f"{tp}.conv_pwl", chs[si], mid, 1)
+                add_bn(f"{tp}.bn3", chs[si])
+            c_in = chs[si]
+
+    # --- scratch decoder (features=64, expand=True) ---
+    taps = [chs[1], chs[2], chs[4], chs[6]]  # 32, 48, 136, 384
+    f = [64, 128, 256, 512]
+    for i in range(4):
+        add_conv(f"scratch.layer{i + 1}_rn", f[i], taps[i], 3)
+    for i in range(1, 5):
+        ch = f[i - 1]
+        out = ch // 2 if i != 1 else ch
+        for u in ("resConfUnit1", "resConfUnit2"):
+            add_convb(f"scratch.refinenet{i}.{u}.conv1", ch, ch, 3)
+            add_convb(f"scratch.refinenet{i}.{u}.conv2", ch, ch, 3)
+        add_convb(f"scratch.refinenet{i}.out_conv", out, ch, 1)
+    add_convb("scratch.output_conv.0", 32, 64, 3)
+    add_convb("scratch.output_conv.2", 32, 32, 3)
+    add_convb("scratch.output_conv.4", 1, 32, 1)
+
+    p = tmp_path / "midas_v21_small_256.pt"
+    torch.save(sd, p)
+
+    params = w.midas_params_from_pth(str(p))
+    ref = midas.init_params(jax.random.PRNGKey(0))
+    # Tree structure + every leaf shape must match our model exactly.
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+    got_shapes = jax.tree.map(lambda x: x.shape, params)
+    assert ref_shapes == got_shapes
+
+    # Forward pass at the reference input size; output stride exactly 1.
+    img = jnp.asarray(np.random.default_rng(0).random((1, 256, 256, 3)), jnp.float32)
+    out = midas.MidasSmall().apply(params, img)
+    assert out.shape == (1, 256, 256)
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(out) >= 0).all()  # non_negative head
+
+    # OIHW -> HWIO layout spot check on the stem kernel.
+    kj = np.asarray(params["params"]["encoder"]["stem_conv"]["kernel"])
+    kt = sd["pretrained.layer1.0.weight"].numpy()
+    np.testing.assert_allclose(kj[1, 2, 0, 5], kt[5, 0, 1, 2], atol=1e-6)
+
+    # load_or_init picks the checkpoint up from a search dir.
+    _, src = w.load_or_init_midas(search_dirs=(str(tmp_path),))
+    assert src.endswith("midas_v21_small_256.pt")

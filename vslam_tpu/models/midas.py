@@ -7,13 +7,15 @@ relative inverse depth. The capability is LATENT in the reference (the
 session is created and shown in the HUD, but `Frame::estimate_depth` is
 never called — SURVEY.md C7); here it is a live, jittable model.
 
-Architecture (matching the public MiDaS v2.1-small): EfficientNet-Lite3
-encoder (width 1.2 / depth 1.4, no squeeze-excite, ReLU6, fixed stem) with
-features tapped at strides 4/8/16/32, and the MiDaS "small" decoder:
-1x1 scratch convs to 256ch (expand=True halves per level: 32/64/128/256),
-residual feature-fusion blocks with nearest upsampling, and a 3-conv
-output head. Weight conversion from the timm/torch checkpoint drops into
-`vslam_tpu.models.weights` when a checkpoint file is present.
+Architecture (matching the public MiDaS v2.1-small checkpoint,
+`MidasNet_small(features=64, expand=True)` over timm efficientnet_lite3):
+EfficientNet-Lite3 encoder (width 1.2 / depth 1.4, no squeeze-excite,
+ReLU6, fixed stem) tapped at strides 4/8/16/32 with channels
+(32, 48, 136, 384); scratch 3x3 convs to (64, 128, 256, 512); residual
+feature-fusion blocks whose 1x1 out_convs halve channels level to level
+(512->256->128->64, refinenet1 unexpanded); head 64->32 -> 2x -> 32 -> 1.
+Output stride is exactly 1. Weight conversion from the public `.pt`
+checkpoint lives in `vslam_tpu.models.weights.midas_params_from_pth`.
 """
 
 from __future__ import annotations
@@ -118,11 +120,32 @@ class EfficientNetLite3(nn.Module):
 
 
 def _upsample2(x):
+    """2x bilinear upsample with align_corners=True (the torch
+    `Interpolate(scale_factor=2, mode="bilinear", align_corners=True)` the
+    MiDaS decoder uses — jax.image.resize only does half-pixel centers)."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+
+    def lerp_axis(v, n_in, n_out, axis):
+        pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w = (pos - lo).astype(v.dtype)
+        shape = [1] * v.ndim
+        shape[axis] = n_out
+        w = w.reshape(shape)
+        a = jnp.take(v, lo, axis=axis)
+        b = jnp.take(v, hi, axis=axis)
+        return a * (1.0 - w) + b * w
+
+    x = lerp_axis(x, H, 2 * H, axis=1)
+    x = lerp_axis(x, W, 2 * W, axis=2)
+    return x
 
 
 class ResidualConvUnit(nn.Module):
+    """`ResidualConvUnit_custom` (MiDaS blocks.py): relu-conv-relu-conv
+    plus skip."""
+
     ch: int
     dtype: Any = jnp.float32
 
@@ -136,7 +159,13 @@ class ResidualConvUnit(nn.Module):
 
 
 class FeatureFusionBlock(nn.Module):
+    """`FeatureFusionBlock_custom`: rcu1(skip)+x -> rcu2 -> 2x upsample ->
+    1x1 out_conv. With expand=True the out_conv HALVES the channels — that
+    single conv is the level-to-level alignment (there are no separate
+    align convs in the checkpoint)."""
+
     ch: int
+    out_ch: int
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -145,20 +174,31 @@ class FeatureFusionBlock(nn.Module):
             x = x + ResidualConvUnit(self.ch, dtype=self.dtype, name="rcu1")(skip)
         x = ResidualConvUnit(self.ch, dtype=self.dtype, name="rcu2")(x)
         x = _upsample2(x)
-        x = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="out_conv")(x)
+        x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="out_conv")(x)
         return x
 
 
 class MidasSmall(nn.Module):
-    """MiDaS v2.1-small: lite3 encoder + 4-level fusion decoder."""
+    """MiDaS v2.1-small: lite3 encoder + 4-level fusion decoder.
 
-    features: int = 256
+    Channel plan matches the shipped checkpoint (`MidasNet_small` with
+    features=64, expand=True): scratch levels (64, 128, 256, 512), fusion
+    out_convs halve down 512->256->128->64, refinenet1 keeps 64 (no
+    expand), head 64->32 -> 2x -> 32 -> 1.
+    """
+
+    features: int = 64
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, image):
-        """image: (B, 256, 256, 3) in [0, 1]. Returns (B, 256, 256)
-        relative inverse depth (unnormalized)."""
+        """image: (B, H, W, 3) in [0, 1], H and W multiples of 32.
+        Returns (B, H, W) relative inverse depth (unnormalized) — the
+        decoder's output stride is exactly 1 (5 fusion upsamples + head
+        upsample from stride 32), no resize needed."""
+        B, H, W, _ = image.shape
+        if H % 32 or W % 32:
+            raise ValueError(f"MiDaS input must be a multiple of 32, got {H}x{W}")
         mean = jnp.asarray(IMAGENET_MEAN, image.dtype)
         std = jnp.asarray(IMAGENET_STD, image.dtype)
         x = (image - mean) / std
@@ -166,36 +206,28 @@ class MidasSmall(nn.Module):
         l1, l2, l3, l4 = EfficientNetLite3(dtype=self.compute_dtype, name="encoder")(x)
 
         f = self.features
-        # "expand" scratch: per-level channels f/8, f/4, f/2, f... MiDaS
-        # small uses (32, 64, 128, 256) with features=256.
-        chs = [f // 8, f // 4, f // 2, f]
+        chs = [f, f * 2, f * 4, f * 8]  # 64, 128, 256, 512
         r1 = nn.Conv(chs[0], (3, 3), padding="SAME", use_bias=False, name="scratch_rn1")(l1)
         r2 = nn.Conv(chs[1], (3, 3), padding="SAME", use_bias=False, name="scratch_rn2")(l2)
         r3 = nn.Conv(chs[2], (3, 3), padding="SAME", use_bias=False, name="scratch_rn3")(l3)
         r4 = nn.Conv(chs[3], (3, 3), padding="SAME", use_bias=False, name="scratch_rn4")(l4)
 
-        # Fusion path with channel alignment between levels.
-        p4 = FeatureFusionBlock(chs[3], name="refine4")(r4)
-        p4 = nn.Conv(chs[2], (1, 1), name="align43")(p4)
-        p3 = FeatureFusionBlock(chs[2], name="refine3")(p4, r3)
-        p3 = nn.Conv(chs[1], (1, 1), name="align32")(p3)
-        p2 = FeatureFusionBlock(chs[1], name="refine2")(p3, r2)
-        p2 = nn.Conv(chs[0], (1, 1), name="align21")(p2)
-        p1 = FeatureFusionBlock(chs[0], name="refine1")(p2, r1)
+        p4 = FeatureFusionBlock(chs[3], chs[3] // 2, name="refine4")(r4)
+        p3 = FeatureFusionBlock(chs[2], chs[2] // 2, name="refine3")(p4, r3)
+        p2 = FeatureFusionBlock(chs[1], chs[1] // 2, name="refine2")(p3, r2)
+        # refinenet1 has expand=False in MidasNet_small: channels stay.
+        p1 = FeatureFusionBlock(chs[0], chs[0], name="refine1")(p2, r1)
 
-        # Output head (MiDaS small: conv3 -> upsample -> conv3 -> conv1)
-        h = nn.Conv(chs[0], (3, 3), padding="SAME", name="head_conv1")(p1)
+        # Output head (`scratch.output_conv`): conv 64->32, 2x upsample,
+        # conv 32->32, relu, conv 32->1, relu.
+        h = nn.Conv(f // 2, (3, 3), padding="SAME", name="head_conv1")(p1)
         h = _upsample2(h)
         h = nn.Conv(32, (3, 3), padding="SAME", name="head_conv2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), name="head_conv3")(h)
         h = nn.relu(h)
         out = h[..., 0]
-        # The fusion path upsamples 5x from stride 32 -> x2 head = stride 1/2?
-        # Resize defensively to the input resolution.
-        B, H, W, _ = image.shape
-        if out.shape[1] != H or out.shape[2] != W:
-            out = jax.image.resize(out, (B, H, W), method="bilinear")
+        assert out.shape == (B, H, W), (out.shape, image.shape)
         return out
 
 
@@ -205,13 +237,14 @@ def init_params(key, size=256):
     return model.init(key, dummy)
 
 
-def estimate_depth(params, image, model=None):
+def estimate_depth(params, image, model=None, size=256):
     """Full reference-parity wrapper (`DepthEstimator.cpp:35-112`):
-    resize to 256, run, resize back, min-max normalize to [0, 1]."""
+    resize to MIDAS_INPUT_SIZE, run, resize back, min-max normalize to
+    [0, 1]."""
     if model is None:
         model = MidasSmall()
     B, H, W, _ = image.shape
-    x = jax.image.resize(image, (B, 256, 256, 3), method="bilinear")
+    x = jax.image.resize(image, (B, size, size, 3), method="bilinear")
     inv = model.apply(params, x)
     inv = jax.image.resize(inv, (B, H, W), method="bilinear")
     lo = jnp.min(inv, axis=(1, 2), keepdims=True)
