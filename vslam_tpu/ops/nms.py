@@ -39,25 +39,34 @@ def decode_heatmap(semi):
 
 def nms_local_max(heatmap, radius=4, conf_threshold=0.005):
     """Window-maximum NMS: (B, H, W) -> same-shape score map with
-    non-maxima zeroed. Ties broken toward the first (row-major) pixel via
-    a tiny index-based tiebreak so exactly one survivor per plateau."""
+    non-maxima zeroed.
+
+    Exact lexicographic tie-break in two window reductions (a subtractive
+    f32 ramp underflows on equal scores): (1) window-max of the score,
+    (2) window-min of the row-major index over pixels that are themselves
+    window maxima. A pixel survives iff it is a window max AND has the
+    smallest index among tying window maxima in its window — exactly one
+    survivor per plateau, matching the reference greedy's
+    sort-then-suppress order for ties (`FeatureExtractor.cpp:238-246`,
+    candidates sorted by score with earlier pixels first).
+    """
     B, H, W = heatmap.shape
-    # Deterministic strict tie-break: subtract a tiny monotonic ramp.
-    ramp = (
+    k = 2 * radius + 1
+    dims, strides = (1, k, k), (1, 1, 1)
+    pooled = jax.lax.reduce_window(
+        heatmap, -jnp.inf, jax.lax.max, dims, strides, "SAME"
+    )
+    is_max = (heatmap >= pooled) & (heatmap > conf_threshold)
+    # Row-major index is exact in f32 up to 2^24 pixels.
+    idx = (
         jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) * W
         + jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    ) * 1e-12
-    score = heatmap - ramp[None]
-    k = 2 * radius + 1
-    pooled = jax.lax.reduce_window(
-        score,
-        -jnp.inf,
-        jax.lax.max,
-        (1, k, k),
-        (1, 1, 1),
-        "SAME",
+    )[None]
+    e = jnp.where(is_max, idx, jnp.inf)
+    tmin = jax.lax.reduce_window(
+        e, jnp.inf, jax.lax.min, dims, strides, "SAME"
     )
-    keep = (score >= pooled) & (heatmap > conf_threshold)
+    keep = is_max & (idx == tmin)
     return jnp.where(keep, heatmap, 0.0)
 
 
