@@ -183,10 +183,15 @@ def main():
     map_valid = np.asarray(st.map.valid)
     sparse = np.asarray(st.map.pos)[map_valid]
     if len(sparse):
-        sv = jnp.ones(len(sparse), bool)
-        sv = pc.statistical_outlier_removal(jnp.asarray(sparse), sv, k=min(20, len(sparse) - 1))
-        keep = np.asarray(sv)
-        ply.save_ply(os.path.join(args.out, "estimated_map.ply"), sparse[keep])
+        # Full beautification chain (main.cpp:1340-1404): bbox -> SOR ->
+        # surface-aware filter -> densify -> normals -> PLY with normals.
+        pts, normals = pc.beautify_cloud(
+            sparse, np.ones(len(sparse), bool), traj=result.t_smoothed,
+        )
+        ply.save_ply(os.path.join(args.out, "estimated_map.ply"), pts,
+                     normals=normals)
+        print(f"[map] beautified sparse cloud: {len(sparse)} -> {len(pts)} "
+              f"points (densified, with normals)")
     if n_dense:
         ply.save_ply(
             os.path.join(args.out, "dense_map.ply"),
@@ -198,14 +203,50 @@ def main():
         _run_poisson(os.path.join(args.out, "dense_map.ply"), args.out)
 
     if args.render:
-        from vslam_tpu.viz import viewer
+        from vslam_tpu.viz import hud, viewer
 
+        every = max(len(idxs) // 20, 1)
         paths = viewer.render_run(
-            result, os.path.join(args.out, "viz"), every=max(len(idxs) // 20, 1),
+            result, os.path.join(args.out, "viz"), every=every,
             dense=(np.asarray(dstate.cloud_xyz)[:n_dense],
                    np.asarray(dstate.cloud_rgb)[:n_dense]) if n_dense else None,
         )
-        print(f"[viz] {len(paths)} frames -> {args.out}/viz")
+        # Per-frame HUD with before/after match windows (main.cpp:1218-1306):
+        # raw ratio-test matches (yellow) vs fundamental-gated (green)
+        # between consecutive rendered frames, plus the annotated frame.
+        import cv2
+
+        from vslam_tpu.ops import matching as match_ops
+        from vslam_tpu.ops import ransac as rs_ops
+
+        xy = np.asarray(frames.xy)
+        dv = np.asarray(frames.valid)
+        ds = np.asarray(frames.desc, np.float32)
+        viz_dir = os.path.join(args.out, "viz")
+        n_hud = 0
+        for i in range(every, len(idxs), every):
+            m = match_ops.knn2_ratio_match(
+                jnp.asarray(ds[i - 1]), jnp.asarray(ds[i]),
+                jnp.asarray(dv[i - 1]), jnp.asarray(dv[i]),
+                ratio=cfg.frontend.l2_ratio_threshold,
+            )
+            uv2 = xy[i][np.asarray(m.idx)]
+            _, fres = rs_ops.ransac_fundamental(
+                jax.random.PRNGKey(i), jnp.asarray(xy[i - 1]), jnp.asarray(uv2),
+                m.valid, num_hypotheses=cfg.motion.fm_ransac_iters,
+                threshold_px=cfg.motion.fm_ransac_threshold_px,
+            )
+            gated = np.asarray(m.valid & fres.inlier_mask)
+            img = hud.before_after(
+                grays[i - 1], grays[i], xy[i - 1], xy[i],
+                np.asarray(m.idx), np.asarray(m.valid), gated,
+            )
+            cv2.imwrite(os.path.join(viz_dir, f"hud_{i:05d}.png"), img[..., ::-1])
+            ann = hud.annotate_frame(grays[i], xy[i], dv[i])
+            cv2.imwrite(os.path.join(viz_dir, f"frame_{i:05d}.png"), ann[..., ::-1])
+            n_hud += 1
+        print(f"[viz] {len(paths)} scene frames + {n_hud} HUD frames -> "
+              f"{args.out}/viz")
 
     import json
 

@@ -116,8 +116,11 @@ def test_surface_aware_filter_keeps_planes(rng):
     plane = np.concatenate([xy, rng.normal(0, 0.002, (300, 1)).astype(np.float32)], -1)
     fuzz = rng.normal(0, 0.5, (100, 3)).astype(np.float32) + np.array([4.0, 0, 0], np.float32)
     pts = np.concatenate([plane, fuzz])
+    # Reference gate (main.cpp:626-631): anisotropy = 1 - lmin/lmax.
+    # Planes score ~1.0 exactly; isotropic gaussian fuzz scores ~0.7 at
+    # k=15 (small-sample eigenvalue spread), so a tight gate separates.
     keep = np.asarray(pc.surface_aware_filter(
-        jnp.asarray(pts), jnp.ones(400, bool), k=15, planarity_min=0.05
+        jnp.asarray(pts), jnp.ones(400, bool), k=15, min_anisotropy=0.93
     ))
     assert keep[:300].mean() > 0.9   # plane kept
     assert keep[300:].mean() < 0.4   # isotropic fuzz mostly dropped
@@ -163,3 +166,29 @@ def test_fuse_sequence_matches_per_frame_inserts(rng):
     np.testing.assert_array_equal(
         np.asarray(s_ref.cloud_rgb)[:n_ref], np.asarray(s_scan.cloud_rgb)[:n_scan]
     )
+
+
+def test_beautify_cloud_chain(rng):
+    """Epilogue chain (main.cpp:1340-1404): bbox gate + SOR + surface
+    filter remove far fuzz, densification adds points on surfaces, and
+    every output point carries a unit normal."""
+    # A dense plane (surface, spacing << densify max_gap) + far outliers
+    n_plane = 1200
+    plane = np.concatenate(
+        [rng.uniform(-0.5, 0.5, (n_plane, 2)), np.zeros((n_plane, 1))], -1
+    ).astype(np.float32)
+    outliers = rng.uniform(20, 30, (20, 3)).astype(np.float32)
+    pts = np.concatenate([plane, outliers])
+    traj = np.array([[0.0, 0.0, 1.0], [0.5, 0.0, 1.0]], np.float32)
+
+    out, normals = pc.beautify_cloud(pts, np.ones(len(pts), bool), traj=traj)
+    assert len(out) > 0.7 * n_plane, "surface points must survive"
+    # bbox gate (±3 m of the trajectory) kills the 20+ m outliers
+    assert np.abs(out).max() < 5.0
+    # densification added points beyond the filtered survivors
+    assert len(out) > n_plane, len(out)
+    assert normals.shape == out.shape
+    nn = np.linalg.norm(normals, axis=-1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-3)
+    # plane normals point along z
+    assert np.abs(normals[:, 2]).mean() > 0.95

@@ -612,10 +612,15 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     nearby = st.map.valid & (
         jnp.abs(pt_kf_frame - cand_frame_id) <= lc.nearby_frame_range
     )
-    # FLANN ratio on squared distances, as in recovery (`src/Slam.cpp:767`).
+    # DELTA from the reference's FLANN ratio test (`src/Slam.cpp:767`):
+    # the map accumulates near-duplicate copies of a landmark (every
+    # keyframe inserts its own), so a ratio test's d1~=d2 rejects exactly
+    # the strongest matches. Absolute distance + mutual-best (the local
+    # tracker's criteria, Config.h:108-111) is duplicate-robust; the
+    # RANSAC-PnP below still gates geometry.
     mres = matching.knn2_ratio_match(
         frame.desc, st.map.desc, frame.valid, nearby,
-        ratio=config.frontend.flann_ratio_threshold**0.5, mutual=False,
+        ratio=2.0, mutual=True, max_dist=config.map.track_desc_threshold,
     )
     X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
     pnp_res = pnp_ops.ransac_pnp(

@@ -116,14 +116,14 @@ def estimate_normals(points, valid, k=16, viewpoint=None):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def surface_aware_filter(points, valid, k=20, planarity_min=0.1):
+def surface_aware_filter(points, valid, k=20, min_anisotropy=0.3):
     """PCA anisotropy filter (`main.cpp:568-642`): keep points whose
-    neighborhood is surface-like (small lambda0 relative to the trace —
-    i.e. locally planar), drop isolated 'fuzz'. Returns new valid mask."""
+    neighborhood is anisotropic (surface- or edge-like), drop isotropic
+    'fuzz'. Reference formula: anisotropy = 1 - lambda_min/lambda_max,
+    keep iff >= min_anisotropy (`main.cpp:626-631`). Returns new mask."""
     w, _, _ = _pca_neighborhoods(points, valid, k)
-    trace = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
-    surface_score = 1.0 - w[..., 0] / trace  # 1 = perfectly planar
-    return valid & (surface_score >= 1.0 - planarity_min)
+    aniso = 1.0 - w[..., 0] / jnp.maximum(w[..., 2], 1e-12)
+    return valid & (aniso >= min_anisotropy)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_new_per_point"))
@@ -196,3 +196,52 @@ def fan_triangulation(points, valid, k=6, max_edge=0.05):
         & (d[:, 1:] < max_edge)
     )
     return faces.reshape(-1, 3), ok.reshape(-1)
+
+
+def beautify_cloud(points, valid, traj=None, key=None, margin=3.0,
+                   k_sor=25, sor_std=0.6, k_surf=25, surf_aniso=0.4,
+                   k_normals=20):
+    """The reference's epilogue beautification chain
+    (`main.cpp:1340-1404`): trajectory bbox gate (±margin) -> SOR(25, 0.6)
+    -> surface-aware filter(25, 0.4) -> planar densification -> normal
+    estimation (k=20). Host-side glue around the jitted ops.
+
+    Args:
+      points: (N, 3); valid: (N,); traj: (T, 3) camera positions or None.
+    Returns (pts (M, 3) float32, normals (M, 3) float32) as NumPy arrays —
+    the final cloud ready for a normals PLY export.
+    """
+    import numpy as np
+
+    points = jnp.asarray(points, jnp.float32)
+    valid = jnp.asarray(valid, bool)
+    n = int(points.shape[0])
+    if n < 8 or int(np.asarray(valid).sum()) < 8:
+        pts = np.asarray(points)[np.asarray(valid)]
+        return pts, np.zeros_like(pts)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    if traj is not None and len(traj):
+        traj = np.asarray(traj)
+        lo = jnp.asarray(traj.min(axis=0) - margin, jnp.float32)
+        hi = jnp.asarray(traj.max(axis=0) + margin, jnp.float32)
+        valid = valid & jnp.all((points >= lo) & (points <= hi), axis=-1)
+
+    valid = statistical_outlier_removal(
+        points, valid, k=min(k_sor, n - 1), std_ratio=sor_std
+    )
+    valid = surface_aware_filter(
+        points, valid, k=min(k_surf, n - 1), min_anisotropy=surf_aniso
+    )
+    new_pts, new_ok = densify_surfaces(points, valid, key)
+
+    pts = np.concatenate(
+        [np.asarray(points)[np.asarray(valid)], np.asarray(new_pts)[np.asarray(new_ok)]]
+    ).astype(np.float32)
+    if len(pts) < 4:
+        return pts, np.zeros_like(pts)
+    normals = estimate_normals(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), k=min(k_normals, len(pts) - 1)
+    )
+    return pts, np.asarray(normals)
