@@ -46,3 +46,24 @@ def test_ratio_match_agrees(rng):
     np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(res.valid))
     agree = np.asarray(idx_p)[np.asarray(ok_p)] == np.asarray(res.idx)[np.asarray(res.valid)]
     assert agree.all()
+
+
+def test_streaming_dispatch_cpu_fallback():
+    """Off-TPU, the streaming matcher falls back to the XLA path and
+    agrees with knn2_ratio_match (mutual off)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vslam_tpu.ops import matching
+
+    rng = np.random.default_rng(3)
+    db = jnp.asarray(rng.normal(size=(5000, 32)), jnp.float32)
+    db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
+    q = db[:64] + 0.01 * jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    dbv = jnp.asarray(rng.random(5000) > 0.1)
+    qv = jnp.ones(64, bool)
+
+    m1 = matching.knn2_ratio_match_streaming(q, db, qv, dbv, ratio=0.9)
+    m2 = matching.knn2_ratio_match(q, db, qv, dbv, ratio=0.9, mutual=False)
+    np.testing.assert_array_equal(np.asarray(m1.idx), np.asarray(m2.idx))
+    np.testing.assert_array_equal(np.asarray(m1.valid), np.asarray(m2.valid))

@@ -526,14 +526,14 @@ def _try_pnp_recovery(st: TrackState, frame: FrameFeatures, config: SlamConfig, 
     pc = config.pnp
     # The reference's recovery matcher is FLANN with ratio 0.7 on SQUARED
     # L2 distances (`src/Slam.cpp:567-572`); the equivalent L2 ratio is
-    # sqrt(FLANN_RATIO_THRESHOLD).
-    mres = matching.knn2_ratio_match(
+    # sqrt(FLANN_RATIO_THRESHOLD). Whole-map match -> streaming kernel on
+    # TPU (Pallas top-2; XLA fallback elsewhere).
+    mres = matching.knn2_ratio_match_streaming(
         frame.desc,
         st.map.desc,
         frame.valid,
         st.map.valid,
         ratio=config.frontend.flann_ratio_threshold**0.5,
-        mutual=False,
     )
     X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
     result = pnp_ops.ransac_pnp(
