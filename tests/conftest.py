@@ -28,3 +28,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults inside backend_compile_and_load when a large
+    scan program is compiled late in a long process (accumulated LLVM/JIT
+    state; reproduced 3/3 at ~105 tests, fine standalone — upstream
+    compiler bug, TPU unaffected). Dropping the in-memory executable
+    caches between modules resets that state; the persistent disk cache
+    (enabled above) turns any recompiles into cheap deserializes."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

@@ -73,9 +73,15 @@ def test_batched_step_matches_per_sequence_scans():
 
 def test_batched_step_handles_feature_dropout():
     """One member loses features mid-batch (recovery path fires for it
-    alone); the others must be unaffected."""
+    alone); the others must be unaffected.
+
+    Uses the same (B, N) shapes as the test above so the scan program is
+    reused: compiling a SECOND large batched-scan variant late in a long
+    suite process segfaults the XLA:CPU compiler (observed 3/3 at N=14
+    after ~100 tests; fine standalone — an upstream compiler bug, not a
+    framework issue; the TPU path is unaffected)."""
     cfg = tiny_test_config()
-    B, N = 2, 14
+    B, N = 3, 12
     seqs, frames = _make_batch(cfg, B, N)
     # Blank member 1's features for 2 frames
     valid = np.array(frames.valid)

@@ -112,6 +112,23 @@ def knn2_ratio_match_streaming(desc_q, desc_db, valid_q, valid_db, ratio=0.75):
     )
 
 
+def pixel_dist2_matrix(uv_db, uv_q):
+    """(M, 2) x (K, 2) -> (M, K) squared pixel distances via the
+    |a|^2 + |b|^2 - 2ab matmul identity — avoids materializing the
+    (M, K, 2) difference broadcast (52 MB at 16384x400 f32), the dominant
+    HBM term of local-map tracking."""
+    n_db = jnp.sum(uv_db * uv_db, axis=-1)
+    n_q = jnp.sum(uv_q * uv_q, axis=-1)
+    # HIGHEST precision always: pixel coords are O(600), so bf16 matmul
+    # passes would put ~tens-of-px^2 of error into the radius gates.
+    cross = jnp.dot(
+        uv_db, uv_q.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(n_db[:, None] + n_q[None, :] - 2.0 * cross, 0.0)
+
+
 def radius_descriptor_match(
     desc_q,
     uv_q,
@@ -121,6 +138,7 @@ def radius_descriptor_match(
     valid_db,
     radius_px,
     desc_thresh,
+    pix_d2=None,
 ):
     """Local-map tracking matcher (`src/Slam.cpp:380-469`).
 
@@ -139,8 +157,9 @@ def radius_descriptor_match(
       the matched db index (or -1).
     """
     d = l2_distance_matrix(desc_db, desc_q, valid_db, valid_q)  # (M, K)
-    pix = jnp.linalg.norm(uv_db[:, None, :] - uv_q[None, :, :], axis=-1)
-    d = jnp.where(pix <= radius_px, d, _BIG)
+    if pix_d2 is None:
+        pix_d2 = pixel_dist2_matrix(uv_db, uv_q)
+    d = jnp.where(pix_d2 <= radius_px * radius_px, d, _BIG)
 
     best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)  # (M,)
     best_d = jnp.min(d, axis=1)
