@@ -48,6 +48,88 @@ def test_ratio_match_agrees(rng):
     assert agree.all()
 
 
+def test_radius_match_fused_agrees(rng):
+    """Fused Pallas radius matcher == XLA radius_descriptor_match + found
+    counter on random local-map-shaped inputs (interpret mode)."""
+    import jax.numpy as jnp
+
+    M, K, D = 2048, 96, 64
+    db = unit(rng, M, D)
+    q = np.concatenate(
+        [db[:48] + rng.normal(0, 0.05, (48, D)).astype(np.float32), unit(rng, 48, D)]
+    )
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    uv_db = rng.uniform(0, 640, (M, 2)).astype(np.float32)
+    # place half the queries near db projections so the radius gate passes
+    uv_q = np.concatenate(
+        [uv_db[:48] + rng.normal(0, 4, (48, 2)).astype(np.float32),
+         rng.uniform(0, 640, (48, 2)).astype(np.float32)]
+    )
+    vdb = rng.random(M) > 0.15
+    vq = rng.random(K) > 0.1
+    radius, thresh = 12.0, 0.7
+
+    mp_idx_p, kp_ok_p, dist_p, minpix_p = pm.radius_match_pallas(
+        jnp.asarray(q), jnp.asarray(uv_q), jnp.asarray(vq),
+        jnp.asarray(db), jnp.asarray(uv_db), jnp.asarray(vdb),
+        radius_px=radius, desc_thresh=thresh, tile=256, interpret=True,
+    )
+    pix_d2 = matching.pixel_dist2_matrix(jnp.asarray(uv_db), jnp.asarray(uv_q))
+    mp_idx_x, kp_ok_x, dist_x = matching.radius_descriptor_match(
+        jnp.asarray(q), jnp.asarray(uv_q), jnp.asarray(vq),
+        jnp.asarray(db), jnp.asarray(uv_db), jnp.asarray(vdb),
+        radius_px=radius, desc_thresh=thresh, pix_d2=pix_d2,
+    )
+    np.testing.assert_array_equal(np.asarray(kp_ok_p), np.asarray(kp_ok_x))
+    np.testing.assert_array_equal(np.asarray(mp_idx_p), np.asarray(mp_idx_x))
+    ok = np.asarray(kp_ok_x)
+    np.testing.assert_allclose(
+        np.asarray(dist_p)[ok], np.asarray(dist_x)[ok], atol=1e-4
+    )
+    minpix_x = np.where(
+        vq[None, :], np.asarray(pix_d2), np.inf
+    ).min(axis=-1)
+    # The Pallas kernel computes pixel distances by exact subtraction; the
+    # XLA path's |a|^2+|b|^2-2ab identity carries ~eps*|uv|^2 ~ 0.2 px^2 of
+    # rounding — tolerance covers the XLA side's error, not the kernel's.
+    np.testing.assert_allclose(
+        np.minimum(np.asarray(minpix_p), 1e9), np.minimum(minpix_x, 1e9),
+        rtol=1e-4, atol=0.5,
+    )
+
+
+def test_radius_match_fused_vmap(rng):
+    """The batched tracking path vmaps the matcher — pin that vmap of the
+    Pallas kernel (interpret mode) matches per-member calls."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    B, M, K, D = 3, 512, 32, 32
+    db = np.stack([unit(rng, M, D) for _ in range(B)])
+    q = np.stack([unit(rng, K, D) for _ in range(B)])
+    uv_db = rng.uniform(0, 640, (B, M, 2)).astype(np.float32)
+    uv_q = uv_db[:, :K] + rng.normal(0, 5, (B, K, 2)).astype(np.float32)
+    vdb = rng.random((B, M)) > 0.2
+    vq = np.ones((B, K), bool)
+
+    f = functools.partial(
+        pm.radius_match_pallas, radius_px=12.0, desc_thresh=0.9,
+        tile=256, interpret=True,
+    )
+    outs_v = jax.vmap(f)(
+        jnp.asarray(q), jnp.asarray(uv_q), jnp.asarray(vq),
+        jnp.asarray(db), jnp.asarray(uv_db), jnp.asarray(vdb),
+    )
+    for b in range(B):
+        outs_1 = f(
+            jnp.asarray(q[b]), jnp.asarray(uv_q[b]), jnp.asarray(vq[b]),
+            jnp.asarray(db[b]), jnp.asarray(uv_db[b]), jnp.asarray(vdb[b]),
+        )
+        for a, e in zip(outs_v, outs_1):
+            np.testing.assert_allclose(np.asarray(a[b]), np.asarray(e), atol=1e-5)
+
+
 def test_streaming_dispatch_cpu_fallback():
     """Off-TPU, the streaming matcher falls back to the XLA path and
     agrees with knn2_ratio_match (mutual off)."""

@@ -299,10 +299,9 @@ def _track_local_map(state: TrackState, frame, config, R_new, t_new):
     in_img = front & cam.in_image(uv_mp, config.camera.width, config.camera.height)
     visible_mask = state.map.valid & in_img
 
-    # One matmul-based (M, K) squared pixel-distance block shared by the
-    # radius matcher and the found counter.
-    pix_d2 = matching.pixel_dist2_matrix(uv_mp, frame.xy)
-    mp_idx, kp_ok, _ = matching.radius_descriptor_match(
+    # Fused radius matcher + found-counter distances: one Pallas program on
+    # TPU (no (M, K) HBM blocks), XLA fallback elsewhere.
+    mp_idx, kp_ok, _, min_pix_d2 = matching.radius_descriptor_match_fused(
         frame.desc,
         frame.xy,
         frame.valid,
@@ -311,15 +310,13 @@ def _track_local_map(state: TrackState, frame, config, R_new, t_new):
         visible_mask,
         radius_px=config.map.track_search_radius_px,
         desc_thresh=config.map.track_desc_threshold,
-        pix_d2=pix_d2,
     )
     # Update visibility / found counters (`src/Slam.cpp:1089-1108` does this
     # per-KF; we fold it into per-frame tracking). "Found" is geometric, as
     # in the reference (`:1099-1104`): any keypoint within
     # TRACK_VISIBILITY_RADIUS of the projection counts.
     r2 = config.map.track_visibility_radius_px**2
-    d2_pix = jnp.where(frame.valid[None, :], pix_d2, jnp.inf)
-    found_inc = visible_mask & (jnp.min(d2_pix, axis=-1) < r2)
+    found_inc = visible_mask & (min_pix_d2 < r2)
     map2 = state.map._replace(
         visible=state.map.visible + visible_mask.astype(jnp.int32),
         found=state.map.found + found_inc.astype(jnp.int32),

@@ -112,6 +112,40 @@ def knn2_ratio_match_streaming(desc_q, desc_db, valid_q, valid_db, ratio=0.75):
     )
 
 
+def radius_descriptor_match_fused(
+    desc_q, uv_q, valid_q, desc_db, uv_db, valid_db, radius_px, desc_thresh
+):
+    """Local-map radius matcher + found-counter distances, fused.
+
+    On TPU this runs the Pallas kernel (`ops.pallas_matching.
+    radius_match_pallas`) that keeps every (M, K) block in VMEM — the XLA
+    path materializes ~4 such blocks (26 MB each at 16384x400) in HBM per
+    frame, the dominant bandwidth term of local-map tracking
+    (`src/Slam.cpp:380-469`). Off-TPU it falls back to the XLA ops.
+
+    Returns (mp_idx (K,), kp_ok (K,), dist (K,), min_pix_d2 (M,)) where
+    min_pix_d2[i] is the squared distance from db projection i to the
+    nearest VALID keypoint (the reference's geometric found counter,
+    `src/Slam.cpp:1099-1104`).
+    """
+    import jax as _jax
+
+    if desc_db.shape[0] >= 4096 and _jax.devices()[0].platform in ("tpu", "axon"):
+        from vslam_tpu.ops import pallas_matching as pm
+
+        return pm.radius_match_pallas(
+            desc_q, uv_q, valid_q, desc_db, uv_db, valid_db,
+            radius_px=float(radius_px), desc_thresh=float(desc_thresh),
+        )
+    pix_d2 = pixel_dist2_matrix(uv_db, uv_q)
+    mp_idx, kp_ok, dist = radius_descriptor_match(
+        desc_q, uv_q, valid_q, desc_db, uv_db, valid_db,
+        radius_px=radius_px, desc_thresh=desc_thresh, pix_d2=pix_d2,
+    )
+    min_pix_d2 = jnp.min(jnp.where(valid_q[None, :], pix_d2, _BIG), axis=-1)
+    return mp_idx, kp_ok, dist, min_pix_d2
+
+
 def pixel_dist2_matrix(uv_db, uv_q):
     """(M, 2) x (K, 2) -> (M, K) squared pixel distances via the
     |a|^2 + |b|^2 - 2ab matmul identity — avoids materializing the

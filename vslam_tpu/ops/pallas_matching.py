@@ -122,6 +122,123 @@ def knn2_ratio_match_pallas(desc_q, desc_db, valid_q, valid_db, ratio=0.75,
     return idx, ok, d1
 
 
+def _radius_kernel(
+    db_ref, dbuv_ref, dbv_ref, q_ref, quvT_ref, qv_ref,
+    best_ref, idx_ref, minpix_ref,
+    *, radius2, desc_thresh,
+):
+    """Grid: (num_db_tiles,). Fused local-map radius matcher
+    (`matching.radius_descriptor_match` semantics, `src/Slam.cpp:380-469`).
+
+    Per database tile: descriptor distances (MXU) + pixel-radius gate +
+    per-db-row best keypoint + per-keypoint claim dedup, merged into a
+    running (1, K) accumulator; also emits the per-db-row min squared
+    pixel distance for the found counter (`src/Slam.cpp:1099-1104`).
+    HBM never sees an (M, K) block.
+    """
+    j = pl.program_id(0)
+    tile = db_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, _BIG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    dots = jnp.dot(
+        db_ref[:], q_ref[:].T, preferred_element_type=jnp.float32
+    )  # (TILE, K)
+    desc_d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
+
+    dx = dbuv_ref[:, 0:1] - quvT_ref[0:1, :]  # (TILE, K)
+    dy = dbuv_ref[:, 1:2] - quvT_ref[1:2, :]
+    pix_d2 = dx * dx + dy * dy
+
+    qv = qv_ref[0:1, :] > 0.5  # (1, K)
+    dbv = dbv_ref[:] > 0.5  # (TILE, 1)
+    d = jnp.where(qv & dbv & (pix_d2 <= radius2), desc_d, _BIG)
+
+    # Per-db-row best keypoint (argmin along lanes).
+    bd = jnp.min(d, axis=1, keepdims=True)  # (TILE, 1)
+    bk = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]  # (TILE, 1)
+    mp_ok = (bd < desc_thresh) & dbv
+
+    # Claim matrix for this tile: db row i claims keypoint bk[i] at bd[i].
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    claims = jnp.where((cols == bk) & mp_ok, bd, _BIG)  # (TILE, K)
+    t_min = jnp.min(claims, axis=0, keepdims=True)  # (1, K)
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + j * tile
+    t_arg = jnp.min(jnp.where(claims == t_min, rows, jnp.int32(2**30)), axis=0)[None, :]
+
+    b, bi = best_ref[:], idx_ref[:]
+    # Strict < keeps the earlier (lower-index) tile on ties, matching
+    # jnp.argmin's first-match convention; within a tile the row-min above
+    # picks the lowest db row among equal distances.
+    take = t_min < b
+    best_ref[:] = jnp.where(take, t_min, b)
+    idx_ref[:] = jnp.where(take, t_arg, bi)
+
+    # Found counter: min squared pixel distance to any valid keypoint.
+    minpix_ref[:] = jnp.min(jnp.where(qv, pix_d2, _BIG), axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius_px", "desc_thresh", "tile", "interpret")
+)
+def radius_match_pallas(
+    desc_q, uv_q, valid_q, desc_db, uv_db, valid_db,
+    radius_px, desc_thresh, tile=512, interpret=False,
+):
+    """Fused drop-in for `matching.radius_descriptor_match` (+ the found
+    counter's min pixel distance). Returns (mp_idx (K,), kp_ok (K,),
+    dist (K,), min_pix_d2 (M,))."""
+    M, D = desc_db.shape
+    K = desc_q.shape[0]
+    Mp = _round_up(M, tile)
+    Kp = _round_up(K, 128)
+    f32 = jnp.float32
+    db = jnp.zeros((Mp, D), desc_db.dtype).at[:M].set(desc_db)
+    dbuv = jnp.zeros((Mp, 2), f32).at[:M].set(uv_db.astype(f32))
+    dbv = jnp.zeros((Mp, 1), f32).at[:M, 0].set(valid_db.astype(f32))
+    q = jnp.zeros((Kp, D), desc_q.dtype).at[:K].set(desc_q)
+    quvT = jnp.zeros((2, Kp), f32).at[:, :K].set(uv_q.astype(f32).T)
+    qv = jnp.zeros((1, Kp), f32).at[0, :K].set(valid_q.astype(f32))
+
+    grid = (Mp // tile,)
+    kernel = functools.partial(
+        _radius_kernel,
+        radius2=float(radius_px) * float(radius_px),
+        desc_thresh=float(desc_thresh),
+    )
+    best, idx, minpix = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(db, dbuv, dbv, q, quvT, qv)
+
+    dist = best[0, :K]
+    kp_ok = dist < _BIG * 0.5
+    mp_idx = jnp.where(kp_ok, idx[0, :K], -1)
+    return mp_idx, kp_ok, dist, minpix[:M, 0]
+
+
 def is_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
