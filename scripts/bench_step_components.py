@@ -12,7 +12,11 @@ Usage: python scripts/bench_step_components.py [--cpu] [--n 256] [--only pat]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -65,6 +65,20 @@ def test_polar3x3(rng):
     assert np.abs(R - R_gt).max() < 0.15
 
 
+def test_cholesky_solve_small(rng):
+    # The 6x6 damped GN systems this solver exists for.
+    for n in (3, 6):
+        A = rng.normal(size=(64, n, n)).astype(np.float32)
+        H = A @ A.transpose(0, 2, 1) + np.eye(n, dtype=np.float32)[None] * 0.1
+        g = rng.normal(size=(64, n)).astype(np.float32)
+        x = np.asarray(linalg.cholesky_solve_small(jnp.asarray(H), jnp.asarray(g)))
+        x_ref = np.linalg.solve(H.astype(np.float64), g.astype(np.float64)[..., None])[..., 0]
+        # Error relative to the solution's magnitude (pointwise relative
+        # error is meaningless for near-zero components).
+        rel = np.abs(x - x_ref).max(-1) / np.abs(x_ref).max(-1)
+        assert rel.max() < 1e-4, rel.max()
+
+
 def test_svd4x4_nullvec(rng):
     # Build rank-3 4x4 matrices with known null vector
 

@@ -48,7 +48,8 @@ def _match_kernel(db_ref, dbv_ref, q_ref, best_ref, second_ref, idx_ref):
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
     dots = jnp.dot(
-        db_ref[:], q_ref[:].T, preferred_element_type=jnp.float32
+        db_ref[:], q_ref[:].T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )  # (TILE, Kq)
     d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
     d = jnp.where(dbv_ref[:] > 0.5, d, _BIG)  # mask invalid db rows
@@ -144,8 +145,13 @@ def _radius_kernel(
         best_ref[:] = jnp.full_like(best_ref, _BIG)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
+    # Explicit DEFAULT precision: descriptor matmuls are deliberately bf16
+    # (see matching.l2_distance_matrix), and Mosaic rejects an fp32
+    # contract precision on bf16 operands — the tracking step's f32 pin
+    # must not leak into the kernel trace.
     dots = jnp.dot(
-        db_ref[:], q_ref[:].T, preferred_element_type=jnp.float32
+        db_ref[:], q_ref[:].T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )  # (TILE, K)
     desc_d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
 

@@ -123,7 +123,9 @@ def gn_refine_pose(
         JW = J * w[..., None, None]
         H = jnp.einsum("nij,nik->jk", JW, J) + damping * jnp.eye(6, dtype=dtype)
         g = jnp.einsum("nij,ni->j", JW, r)
-        delta = -jnp.linalg.solve(H, g)
+        from vslam_tpu.ops import linalg
+
+        delta = -linalg.cholesky_solve_small(H, g)
         dw, dt = delta[:3], delta[3:]
         dR = se3.exp_so3(dw)
         R_new = dR @ R
