@@ -110,6 +110,55 @@ def main():
 
     timed_scan("full tracking_step", full_step)
 
+    # ---- full step with the TrackState THREADED through the carry ----
+    # (isolates the scan-carry cost of the 30+ MB state pytree vs the
+    # scalar-carry variant above)
+    if not args.only or "threaded" in args.only:
+
+        @jax.jit
+        def prog_threaded(st0):
+            def step(st, _):
+                f2 = frame._replace(xy=frame.xy + st.t[0] * 1e-12)
+                key = jax.random.fold_in(key0, st.frame_idx)
+                st2, out = T.tracking_step(st, f2, cfg, key)
+                return st2, out.t
+
+            stN, ts_ = jax.lax.scan(step, st0, None, length=N)
+            return jnp.sum(ts_)
+
+        r = float(prog_threaded(state))
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = float(prog_threaded(state))
+            reps.append(time.perf_counter() - t0)
+        print(f"{'full step (state threaded)':36s} {float(np.median(reps))/N*1e6:9.1f} us/iter")
+
+    # ---- the real bench scan on N frames (real data, real branches) ----
+    if not args.only or "realscan" in args.only:
+        seqN = synthetic.make_sequence(
+            num_frames=N,
+            max_keypoints=cfg.frontend.max_keypoints,
+            desc_dim=cfg.frontend.descriptor_dim,
+            fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+            width=c.width, height=c.height,
+            seed=3, num_landmarks=6000,
+        )
+        framesN = pipeline.features_from_synthetic(seqN)
+
+        @jax.jit
+        def prog_real(st0, fs):
+            stN, outs = _scan_sequence(st0, fs, cfg, 42)
+            return jnp.sum(outs.t)
+
+        r = float(prog_real(state0, framesN))
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = float(prog_real(state0, framesN))
+            reps.append(time.perf_counter() - t0)
+        print(f"{'real scan (fresh state, N frames)':36s} {float(np.median(reps))/N*1e6:9.1f} us/iter")
+
     # ---- KF descriptor match ----
     def kf_match(cr):
         f2 = frame._replace(xy=jitter_xy(cr))

@@ -91,6 +91,10 @@ class PnPConfig:
     ransac_threshold_px: float = 8.0
     ransac_iters: int = 128  # reference solvePnPRansac uses 100-300
     gn_iters: int = 8  # Huber-GN converges in <6 on pre-gated corrs
+    # Per-frame local refine starts from the CURRENT pose on pre-gated
+    # (12 px / 0.5 desc) correspondences — 4 iterations suffice there,
+    # and this runs every frame (RANSAC paths keep gn_iters).
+    refine_gn_iters: int = 4
     recovery_max_jump: float = 1.5
     recovery_blend_close: float = 0.8
     recovery_blend_far: float = 0.3

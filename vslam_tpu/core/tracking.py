@@ -48,7 +48,7 @@ def _single_view_scale(R_rel, t_rel, p_kf, xn_cur, valid):
     For each match: p_cur = R p_kf + s t̂; the x (and y) image constraints
     give closed-form per-match scales; robust median over valid entries.
     """
-    Rp = p_kf @ R_rel.T  # (K, 3)
+    Rp = se3.rotate_rows(R_rel, p_kf)  # (K, 3)
     # x constraint: xn·(Rp_z + s t_z) = Rp_x + s t_x
     num_x = xn_cur[:, 0] * Rp[:, 2] - Rp[:, 0]
     den_x = t_rel[0] - xn_cur[:, 0] * t_rel[2]
@@ -292,9 +292,8 @@ def _track_local_map(state: TrackState, frame, config, R_new, t_new):
     """Project map points, radius-match descriptors
     (`src/Slam.cpp:380-469`). Returns (mp_idx per kp, tracked mask, map')."""
     fx, fy, cx, cy = _intr(config)
-    Rcw = R_new.T
-    tcw = -Rcw @ t_new
-    p_c = state.map.pos @ Rcw.T + tcw
+    Rcw, tcw = se3.inverse(R_new, t_new)
+    p_c = se3.transform_points(Rcw, tcw, state.map.pos)
     uv_mp, front = cam.project(p_c, fx, fy, cx, cy)
     in_img = front & cam.in_image(uv_mp, config.camera.width, config.camera.height)
     visible_mask = state.map.valid & in_img
@@ -341,10 +340,10 @@ def _refine_pnp(state, frame, config, R_new, t_new, mp_idx, kp_ok, key):
     w0 = kp_ok.astype(X.dtype)
     R_cw, t_cw = pnp_ops.gn_refine_pose(
         R_cw0, t_cw0, X, frame.xy, w0, fx, fy, cx, cy,
-        iters=pc.gn_iters, huber_px=pc.ransac_threshold_px * 0.5,
+        iters=pc.refine_gn_iters, huber_px=pc.ransac_threshold_px * 0.5,
     )
     R_pnp, t_pnp = se3.inverse(R_cw, t_cw)
-    p_f = X @ R_cw.T + t_cw
+    p_f = se3.transform_points(R_cw, t_cw, X)
     uv_f, front_f = cam.project(p_f, fx, fy, cx, cy)
     err_f = jnp.linalg.norm(uv_f - frame.xy, axis=-1)
     inl = (err_f < pc.ransac_threshold_px) & front_f & kp_ok
@@ -375,9 +374,8 @@ def _reproject_cull(map_store: MapStore, frame, config, R_new, t_new, mp_idx, kp
     fx, fy, cx, cy = _intr(config)
     M = map_store.valid.shape[0]
     X = map_store.pos[jnp.clip(mp_idx, 0, M - 1)]
-    Rcw = R_new.T
-    tcw = -Rcw @ t_new
-    p_c = X @ Rcw.T + tcw
+    Rcw, tcw = se3.inverse(R_new, t_new)
+    p_c = se3.transform_points(Rcw, tcw, X)
     z = p_c[:, 2]
     uv, _ = cam.project(p_c, fx, fy, cx, cy)
     err2 = jnp.sum((uv - frame.xy) ** 2, axis=-1)
@@ -584,10 +582,14 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
     d2 = jnp.where(frame.valid[None, :, None], d2, 1e9)
     d2 = jnp.where(kfs.kp_valid[:, None, :], d2, 1e9)
-    top2 = -jax.lax.top_k(-d2, 2)[0]  # (KFC, K, 2) smallest two
+    dd1 = jnp.min(d2, axis=-1)  # (KFC, K)
     best_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (KFC, K)
-    match_ok = (top2[..., 0] < config.frontend.l2_ratio_threshold * top2[..., 1]) & (
-        top2[..., 0] < 1e8
+    cols = jnp.arange(d2.shape[-1], dtype=jnp.int32)
+    dd2 = jnp.min(
+        jnp.where(cols[None, None, :] == best_idx[..., None], 1e9, d2), axis=-1
+    )
+    match_ok = (dd1 < config.frontend.l2_ratio_threshold * dd2) & (
+        dd1 < 1e8
     ) & frame.valid[None, :]
     counts = jnp.sum(match_ok, axis=-1) * cand  # (KFC,)
     best_kf = jnp.argmax(counts).astype(jnp.int32)

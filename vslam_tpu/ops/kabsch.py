@@ -67,8 +67,10 @@ def kabsch(src, dst, weights=None, with_scale=False, eps=1e-9):
 
 def rigid_residuals(R, t, src, dst, s=None):
     """Per-point alignment error norms (..., N)."""
+    from vslam_tpu.ops import se3
+
     if s is None:
-        pred = src @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+        pred = se3.rotate_rows(R, src) + t[..., None, :]
     else:
-        pred = s[..., None, None] * (src @ jnp.swapaxes(R, -1, -2)) + t[..., None, :]
+        pred = s[..., None, None] * se3.rotate_rows(R, src) + t[..., None, :]
     return jnp.linalg.norm(dst - pred, axis=-1)

@@ -68,11 +68,12 @@ def knn2_ratio_match(
     (`src/Slam.cpp:443-456`).
     """
     d = l2_distance_matrix(desc1, desc2, valid1, valid2)  # (N, M)
-    # top-2 smallest along axis 1 via top_k on negated distances
-    top2, top2_idx = jax.lax.top_k(-d, 2)
-    d1 = -top2[:, 0]
-    d2 = -top2[:, 1]
-    j = top2_idx[:, 0].astype(jnp.int32)
+    # Two min/argmin passes beat a sort-based lax.top_k(k=2) on TPU; ties
+    # resolve to the lowest index exactly like top_k's stable order.
+    d1 = jnp.min(d, axis=1)
+    j = jnp.argmin(d, axis=1).astype(jnp.int32)
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+    d2 = jnp.min(jnp.where(cols == j[:, None], _BIG, d), axis=1)
 
     ok = d1 < ratio * d2
     if max_dist is not None:

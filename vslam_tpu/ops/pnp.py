@@ -63,7 +63,7 @@ def _dlt_pose(X, xn):
     R = se3.orthonormalize(R_raw / scale[..., None, None])
     t = t_raw / scale[..., None]
     # Cheirality: majority of points should land in front.
-    z = (X @ jnp.swapaxes(R, -1, -2) + t[..., None, :])[..., 2]
+    z = se3.transform_points(R, t, X)[..., 2]
     front = jnp.mean(jnp.sign(z), axis=-1)
     flip = front < 0
     # Negating p flips both R and t; R must stay a rotation -> rotate by pi
@@ -98,7 +98,15 @@ def gn_refine_pose(
 
     def body(_, carry):
         R, t = carry
-        p = X @ R.T + t  # camera-frame points (N, 3)
+        # Explicit linear combination instead of X @ R.T: exact f32 on the
+        # VPU — under the tracking step's f32 pin a (N,3)x(3,3) MXU matmul
+        # costs 6 bf16 passes of pure latency.
+        p = (
+            X[..., 0:1] * R[:, 0][None]
+            + X[..., 1:2] * R[:, 1][None]
+            + X[..., 2:3] * R[:, 2][None]
+            + t
+        )  # camera-frame points (N, 3)
         z = jnp.maximum(p[..., 2], 1e-6)
         u = fx * p[..., 0] / z + cx
         v = fy * p[..., 1] / z + cy
@@ -116,13 +124,16 @@ def gn_refine_pose(
             ],
             axis=-2,
         )  # (N, 2, 3)
-        # dp/d[w, dt] with left perturbation p' = exp(w) p + dt
-        Jp = jnp.concatenate([-se3.hat(p), jnp.broadcast_to(jnp.eye(3, dtype=dtype), p.shape[:-1] + (3, 3))], axis=-1)  # (N, 3, 6)
-        J = J_proj @ Jp  # (N, 2, 6)
+        # dp/d[w, dt] with left perturbation p' = exp(w) p + dt:
+        # J = J_proj @ [-hat(p) | I]; the rotation block per row is
+        # j @ (-hat(p)) = p x j — cross products, no batched matmul.
+        J_rot = jnp.cross(p[..., None, :], J_proj)  # (N, 2, 3)
+        J = jnp.concatenate([J_rot, J_proj], axis=-1)  # (N, 2, 6)
 
-        JW = J * w[..., None, None]
-        H = jnp.einsum("nij,nik->jk", JW, J) + damping * jnp.eye(6, dtype=dtype)
-        g = jnp.einsum("nij,ni->j", JW, r)
+        JW = (J * w[..., None, None]).reshape(-1, 6)  # (2N, 6)
+        Jf = J.reshape(-1, 6)
+        H = JW.T @ Jf + damping * jnp.eye(6, dtype=dtype)
+        g = JW.T @ r.reshape(-1)
         from vslam_tpu.ops import linalg
 
         delta = -linalg.cholesky_solve_small(H, g)
@@ -169,7 +180,7 @@ def ransac_pnp(
     R_h, t_h = _dlt_pose(X[idx], xn[idx])  # (B, 3, 3), (B, 3)
 
     # Reprojection residuals for all hypotheses: (B, N)
-    p = jnp.einsum("bij,nj->bni", R_h, X) + t_h[:, None, :]
+    p = se3.transform_points(R_h, t_h, X[None])
     uv_hat, front = cam.project(p, fx, fy, cx, cy)
     err = jnp.linalg.norm(uv_hat - uv[None], axis=-1)
     inl = (err < threshold_px) & front & valid[None, :]
@@ -181,7 +192,7 @@ def ransac_pnp(
         R_h[best], t_h[best], X, uv, w, fx, fy, cx, cy, iters=gn_iters, huber_px=huber_px
     )
 
-    p_f = X @ R_cw.T + t_cw
+    p_f = se3.transform_points(R_cw, t_cw, X)
     uv_f, front_f = cam.project(p_f, fx, fy, cx, cy)
     err_f = jnp.linalg.norm(uv_f - uv, axis=-1)
     final_inl = (err_f < threshold_px) & front_f & valid

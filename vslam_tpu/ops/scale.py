@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from vslam_tpu.ops import se3
+
 
 def _masked_quantile(x, valid, q):
     """Quantile over valid entries (static shape): sort invalid to +inf."""
@@ -33,7 +35,7 @@ def two_view_scale(R_rel, t_rel, p1, p2, valid, min_matches=5):
     (`Slam.cpp:118-152`), ok=False when too few samples or s <= 0.
     """
     t_hat = t_rel / jnp.maximum(jnp.linalg.norm(t_rel), 1e-9)
-    s_i = jnp.sum((p2 - p1 @ R_rel.T) * t_hat, axis=-1)  # (N,)
+    s_i = jnp.sum((p2 - se3.rotate_rows(R_rel, p1)) * t_hat, axis=-1)  # (N,)
     ok_i = valid & jnp.isfinite(s_i)
 
     q1, _ = _masked_quantile(s_i, ok_i, 0.25)

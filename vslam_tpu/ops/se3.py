@@ -197,9 +197,22 @@ def inverse(R, t):
     return Rt, -(Rt @ t[..., None])[..., 0]
 
 
+def rotate_rows(R, pts):
+    """pts @ R^T (i.e. R applied to each row) as explicit broadcast
+    arithmetic. Exact f32 on the VPU — under the tracking step's f32
+    matmul pin, a tiny (N, 3) x (3, 3) MXU matmul costs 6 bf16 passes of
+    pure latency; the elementwise form is both cheaper and exact.
+    Broadcasts batched R (..., 3, 3) against (..., N, 3) points."""
+    return (
+        pts[..., 0:1] * R[..., None, :, 0]
+        + pts[..., 1:2] * R[..., None, :, 1]
+        + pts[..., 2:3] * R[..., None, :, 2]
+    )
+
+
 def transform_points(R, t, pts):
     """Apply (R, t) to points (..., N, 3)."""
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return rotate_rows(R, pts) + t[..., None, :]
 
 
 def relative(Ra, ta, Rb, tb):

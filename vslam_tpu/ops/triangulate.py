@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vslam_tpu.ops import camera as cam
+from vslam_tpu.ops import se3
 
 
 def projection_matrix(R_cw, t_cw, fx, fy, cx, cy):
@@ -71,8 +72,8 @@ def triangulate_two_view(
     X = triangulate_dlt(P1, P2, uv1, uv2)
 
     # Camera-frame depths (cheirality both views + range)
-    Xc1 = X @ jnp.swapaxes(R1_cw, -1, -2) + t1_cw
-    Xc2 = X @ jnp.swapaxes(R2_cw, -1, -2) + t2_cw
+    Xc1 = se3.transform_points(R1_cw, t1_cw, X)
+    Xc2 = se3.transform_points(R2_cw, t2_cw, X)
     z1, z2 = Xc1[..., 2], Xc2[..., 2]
 
     uv1_hat, v1ok = cam.project(Xc1, fx, fy, cx, cy)
