@@ -98,13 +98,22 @@ def main():
         print(f"{name:36s} {dt*1e6:9.1f} us/iter")
 
     # Perturb inputs by the carry so nothing constant-folds across steps.
+    # BOTH xy and desc must depend on the carry: XLA hoists loop-invariant
+    # subgraphs out of the scan, so a constant descriptor array would let
+    # every descriptor matmul run once instead of per iteration.
     def jitter_xy(cr):
         return frame.xy + cr * 1e-6
+
+    def jitter_frame(cr):
+        return frame._replace(
+            xy=frame.xy + cr * 1e-6,
+            desc=frame.desc + (cr * 1e-6).astype(frame.desc.dtype),
+        )
 
     # ---- full step ----
     def full_step(cr):
         key = jax.random.fold_in(key0, (cr * 1e6).astype(jnp.int32))
-        f2 = frame._replace(xy=jitter_xy(cr))
+        f2 = jitter_frame(cr)
         st2, out = T.tracking_step(state, f2, cfg, key)
         return jnp.sum(out.t) * 1e-9 + cr * 0.5
 
@@ -118,7 +127,8 @@ def main():
         @jax.jit
         def prog_threaded(st0):
             def step(st, _):
-                f2 = frame._replace(xy=frame.xy + st.t[0] * 1e-12)
+                f2 = frame._replace(xy=frame.xy + st.t[0] * 1e-12,
+                    desc=frame.desc + (st.t[0] * 1e-12).astype(frame.desc.dtype))
                 key = jax.random.fold_in(key0, st.frame_idx)
                 st2, out = T.tracking_step(st, f2, cfg, key)
                 return st2, out.t
@@ -161,7 +171,7 @@ def main():
 
     # ---- KF descriptor match ----
     def kf_match(cr):
-        f2 = frame._replace(xy=jitter_xy(cr))
+        f2 = jitter_frame(cr)
         m, uv_kf, uv_cur, gated, n_raw = T._match_to_keyframe(
             state, f2, cfg, key0
         )
@@ -199,7 +209,7 @@ def main():
     # ---- local-map tracking (fused dispatch; Pallas on TPU) ----
     def local_map(cr):
         mp_idx, kp_ok, map2 = T._track_local_map(
-            state, frame._replace(xy=jitter_xy(cr)), cfg, state.R, state.t
+            state, jitter_frame(cr), cfg, state.R, state.t
         )
         return jnp.sum(kp_ok) * 1e-9 + cr * 0.5
 
@@ -207,7 +217,7 @@ def main():
 
     # ---- local-map tracking, forced XLA path ----
     def local_map_xla(cr):
-        f2 = frame._replace(xy=jitter_xy(cr))
+        f2 = jitter_frame(cr)
         Rcw = state.R.T
         tcw = -Rcw @ state.t
         from vslam_tpu.ops import camera as cam

@@ -320,6 +320,75 @@ def polar3x3(A):
     return (U * D[..., None, :]) @ Vt
 
 
+def _cholesky_factor_small(H, eps=1e-20):
+    """Unrolled batched Cholesky factor of (..., N, N) SPD; returns the
+    lower factor as a list-of-lists of (...,) scalars (N static)."""
+    N = H.shape[-1]
+    L = [[None] * N for _ in range(N)]
+    for j in range(N):
+        s = H[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = d
+        for i in range(j + 1, N):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / d
+    return L
+
+
+def _cholesky_solve_factored(L, g):
+    """Solve L L^T x = g given the unrolled factor; g (..., N)."""
+    N = len(L)
+    y = [None] * N
+    for i in range(N):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * N
+    for i in reversed(range(N)):
+        s = y[i]
+        for k in range(i + 1, N):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+@f32_matmuls
+def smallest_eigvec_psd(AtA, iters=3, shift_rel=1e-5):
+    """Unit eigenvector of the smallest eigenvalue of a PSD (..., N, N)
+    matrix via shift-and-invert iteration with one unrolled Cholesky.
+
+    Replaces full Jacobi eigendecompositions on the DLT/8-point paths
+    where ONLY the null vector is needed: their A^T A matrices have an
+    exact one-dimensional nullspace (2N rows vs N+? unknowns at the
+    minimal sample size), so the spectral gap after the tiny shift is
+    enormous and 2 iterations converge to f32 accuracy. Cyclic Jacobi on
+    9x9/12x12 costs 72-99 SEQUENTIAL rotation rounds (~1-1.3 ms on a
+    v5e inside the tracking scan); this is ~N^3/3 fused element-wise ops
+    plus 2 triangular solves.
+    """
+    N = AtA.shape[-1]
+    dtype = AtA.dtype
+    # Shift proportional to the matrix scale keeps the factor well-posed.
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)
+    shift = (shift_rel * jnp.maximum(tr, 1e-30) / N)[..., None, None]
+    H = AtA + shift * jnp.eye(N, dtype=dtype)
+    L = _cholesky_factor_small(H)
+    # Deterministic start: a fixed dense direction (never exactly
+    # orthogonal to the null vector in float).
+    v0 = jnp.full(AtA.shape[:-1], 1.0, dtype) / jnp.sqrt(jnp.asarray(N, dtype))
+    v0 = v0 + jax.lax.broadcasted_iota(dtype, v0.shape, v0.ndim - 1) * (0.1 / N)
+    v = v0 / jnp.linalg.norm(v0, axis=-1, keepdims=True)
+    for _ in range(iters):
+        v = _cholesky_solve_factored(L, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def cholesky_solve_small(H, g, eps=1e-20):
     """Solve H x = g for small SPD H (..., N, N) with N <= ~8, batched.
 
@@ -359,8 +428,8 @@ def cholesky_solve_small(H, g, eps=1e-20):
 
 @f32_matmuls
 def svd4x4_nullvec(A):
-    """Smallest right singular vector of (..., 4, 4) via eigh(A^T A)
-    (triangulation DLT only needs the null vector, not the full SVD)."""
+    """Smallest right singular vector of (..., 4, 4) via shift-and-invert
+    on A^T A (triangulation DLT only needs the null vector; the two-view
+    DLT system has an exact null direction — the homogeneous point)."""
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, V = eigh_small(AtA)
-    return V[..., :, 0]
+    return smallest_eigvec_psd(AtA)

@@ -52,10 +52,16 @@ def nms_local_max(heatmap, radius=4, conf_threshold=0.005):
     """
     B, H, W = heatmap.shape
     k = 2 * radius + 1
-    dims, strides = (1, k, k), (1, 1, 1)
-    pooled = jax.lax.reduce_window(
-        heatmap, -jnp.inf, jax.lax.max, dims, strides, "SAME"
-    )
+    ones3 = (1, 1, 1)
+
+    # Separable window reductions: max/min over a (k, k) rectangle are
+    # max/min of row-then-column 1-D windows — 2k taps instead of k^2
+    # (the fused (1,k,k) reduce_window was ~40% of frontend decode time).
+    def _win(x, init, op):
+        x = jax.lax.reduce_window(x, init, op, (1, k, 1), ones3, "SAME")
+        return jax.lax.reduce_window(x, init, op, (1, 1, k), ones3, "SAME")
+
+    pooled = _win(heatmap, -jnp.inf, jax.lax.max)
     is_max = (heatmap >= pooled) & (heatmap > conf_threshold)
     # Row-major index is exact in f32 up to 2^24 pixels.
     idx = (
@@ -63,9 +69,7 @@ def nms_local_max(heatmap, radius=4, conf_threshold=0.005):
         + jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     )[None]
     e = jnp.where(is_max, idx, jnp.inf)
-    tmin = jax.lax.reduce_window(
-        e, jnp.inf, jax.lax.min, dims, strides, "SAME"
-    )
+    tmin = _win(e, jnp.inf, jax.lax.min)
     keep = is_max & (idx == tmin)
     return jnp.where(keep, heatmap, 0.0)
 

@@ -51,8 +51,9 @@ def _dlt_pose(X, xn):
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
     from vslam_tpu.ops import linalg
 
-    _, V = linalg.eigh_small(AtA)
-    p = V[..., :, 0]
+    # The minimal 6-point system (12 rows, 12 unknowns) has an exact 1-D
+    # nullspace: shift-and-invert beats a 99-round Jacobi 12x12 eigh.
+    p = linalg.smallest_eigvec_psd(AtA)
     P = p.reshape(*p.shape[:-1], 3, 4)
     R_raw = P[..., :3]
     t_raw = P[..., 3]
