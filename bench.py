@@ -135,11 +135,11 @@ def main():
             )
         )
         chain0 = jnp.asarray(0.0, jnp.float32)
-        ts = _timed(
+        ts_sp = _timed(
             lambda: frontend_sequence(params, chunks, chain0)[0], float
         )
-        dt_sp = float(np.median(ts))
-        sp_sprd = _spread(ts)
+        dt_sp = float(np.median(ts_sp))
+        sp_sprd = _spread(ts_sp)
         sp_fps = n_chunks * sp_batch / dt_sp
 
     # ---------------- Tracking scan ----------------
@@ -163,9 +163,9 @@ def main():
         fs, outs = _scan_sequence(state, frames, cfg, 42)
         return jnp.sum(outs.t)
 
-    ts = _timed(lambda: scan_chained(state0, frames), float)
-    dt_track = float(np.median(ts))
-    track_sprd = _spread(ts)
+    ts_track = _timed(lambda: scan_chained(state0, frames), float)
+    dt_track = float(np.median(ts_track))
+    track_sprd = _spread(ts_track)
     track_fps = n_frames / dt_track
 
     # ---------------- Dense voxel fusion (per-frame in the reference) ------
@@ -197,12 +197,12 @@ def main():
             )
             return st.cloud_count
 
-        ts = _timed(
+        ts_dense = _timed(
             lambda: dense_chained(depth_frames, rgb_frames, Rs, t_path),
             lambda x: int(x),
         )
-        dt_dense = float(np.median(ts))
-        dense_sprd = _spread(ts)
+        dt_dense = float(np.median(ts_dense))
+        dense_sprd = _spread(ts_dense)
         dense_fps = n_frames / dt_dense
 
     # ---------------- Batched multi-sequence tracking ----------------
@@ -284,9 +284,21 @@ def main():
         )
         multi_e2e = 1.0 / pf_multi
 
-    spread = max(
-        [s for s in (sp_sprd, track_sprd, dense_sprd) if s is not None] or [0.0]
-    )
+    # Run-to-run variation of the END-TO-END number: combine the i-th timed
+    # iteration of every stage into one per-frame cost and measure the
+    # spread of those. (A max over per-stage spreads over-weights fast,
+    # noisy stages — dense fusion at ~0.25 ms/frame can swing 2x without
+    # moving the e2e number by even 1%.)
+    e2e_iters = []
+    for i in range(TIMED_ITERS):
+        pf_i = (
+            (0.0 if args.no_frontend else ts_sp[i] / (n_chunks * sp_batch))
+            + ts_track[i] / n_frames
+            + (0.0 if args.no_dense else ts_dense[i] / n_frames)
+            + backend_s / n_frames
+        )
+        e2e_iters.append(pf_i)
+    spread = _spread(e2e_iters)
 
     print(
         json.dumps(
