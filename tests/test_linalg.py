@@ -91,3 +91,23 @@ def test_svd4x4_nullvec(rng):
     v = np.asarray(linalg.svd4x4_nullvec(jnp.asarray(A4)))
     dot = np.abs(np.sum(v * null, axis=-1))
     np.testing.assert_allclose(dot, 1.0, atol=1e-3)
+
+
+def test_polar_newton3x3_near_orthogonal(rng):
+    # Rotations drifted the way the tracking step drifts them: float
+    # round-off from composing rotations, plus a deliberate 1e-2 bump.
+    from scipy.spatial.transform import Rotation
+
+    R_gt = Rotation.random(64, random_state=3).as_matrix().astype(np.float32)
+    # Quadratic convergence: tolerance scales with eps^4 floored at f32
+    # round-off. The hot call sites feed drift <= ~1e-5.
+    for eps, tol in ((1e-6, 2e-5), (1e-3, 2e-5), (1e-2, 5e-5), (5e-2, 1e-3)):
+        A = R_gt + rng.normal(size=R_gt.shape).astype(np.float32) * eps
+        Rn = np.asarray(linalg.polar_newton3x3(jnp.asarray(A)))
+        # Orthogonal, det +1
+        I = Rn @ Rn.transpose(0, 2, 1)
+        assert np.abs(I - np.eye(3, dtype=np.float32)).max() < tol, eps
+        assert np.abs(np.linalg.det(Rn) - 1.0).max() < tol
+        # Agrees with the full polar projection
+        Rp = np.asarray(linalg.polar3x3(jnp.asarray(A)))
+        assert np.abs(Rn - Rp).max() < 20 * tol, (eps, np.abs(Rn - Rp).max())

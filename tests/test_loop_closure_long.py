@@ -96,26 +96,73 @@ def test_loop_closure_fires_and_pgo_reduces_ate():
     gaps = np.asarray(st.loops.to_id) - np.asarray(st.loops.from_id)
     assert (gaps[loops_v] >= cfg.loop.min_frame_gap).all(), gaps[loops_v]
 
-    ate_pre = ate_mod.compute_ate(
-        result.timestamps, result.t, seq.timestamps, seq.t, with_scale=False
-    )
-    r2 = pipeline.run_posthoc_pgo(result, cfg)
-    ate_post = ate_mod.compute_ate(
-        r2.timestamps, r2.t, seq.timestamps, seq.t, with_scale=False
-    )
+    # Constraint ACCURACY vs ground truth: the stored relative pose
+    # (estimated old-KF pose -> PnP-verified revisit pose) must match the
+    # GT relative pose to a few cm / ~1 deg — the constraint the reference
+    # hands to g2o (`Slam.cpp:790-797`) is only useful if it is accurate.
+    from vslam_tpu.ops import se3 as se3_ops
 
-    # PGO must CLOSE THE LOOP GAP: unaligned error (known world-frame
-    # transform) at the revisit end shrinks decisively. One loop edge
-    # cannot repair mid-arc odometry shape error, so whole-trajectory
-    # aligned RMSE is only required not to degrade.
+    for li in np.nonzero(loops_v)[0]:
+        fid = int(np.asarray(st.loops.from_id)[li])
+        tid = int(np.asarray(st.loops.to_id)[li])
+        Rg, tg = se3_ops.relative(seq.R[fid], seq.t[fid], seq.R[tid], seq.t[tid])
+        t_err = float(
+            np.linalg.norm(np.asarray(st.loops.t_rel)[li] - np.asarray(tg))
+        )
+        R_err = float(
+            np.linalg.norm(
+                np.asarray(st.loops.R_rel)[li] @ np.asarray(Rg).T - np.eye(3)
+            )
+        )
+        assert t_err < 0.12, (li, fid, tid, t_err)
+        assert R_err < 0.06, (li, fid, tid, R_err)
+
     def unaligned_err(r):
         est_w = r.t @ seq.R[0].T + seq.t[0]
         return np.linalg.norm(est_w - seq.t, axis=-1)
 
-    e_pre, e_post = unaligned_err(result), unaligned_err(r2)
     tail = slice(-20, None)
-    assert e_post[tail].mean() < 0.6 * e_pre[tail].mean(), (
-        e_pre[tail].mean(), e_post[tail].mean()
+
+    # PGO must CLOSE THE LOOP GAP. The tracking core is accurate enough
+    # on this workload that organic tail drift (~6 cm) sits at the
+    # constraint's own accuracy floor, so gap-closing is exercised the
+    # way a real loop closure encounters it: an accurate constraint
+    # against a DRIFTED trajectory. Inject a smooth 0.5 m drift into the
+    # estimated trajectory + keyframe ring (the constraint, map, and
+    # odometry edge structure stay as tracked) and require PGO to pull
+    # the revisit tail decisively back.
+    n = len(result.t)
+    prof = (np.arange(n, dtype=np.float32) / (n - 1)) ** 1.5
+    ddir = np.asarray([0.6, -0.2, 0.3], np.float32)
+    ddir /= np.linalg.norm(ddir)
+    drift = 0.5 * prof[:, None] * ddir[None, :]
+    kf_fid = np.asarray(st.keyframes.frame_id)
+    kf_drift = (
+        0.5 * np.clip(kf_fid / (n - 1), 0.0, 1.0)[:, None] ** 1.5 * ddir[None, :]
+    ).astype(np.float32)
+
+    drifted = dataclasses.replace(
+        result,
+        t=result.t + drift,
+        t_smoothed=result.t_smoothed + drift,
+        final_state=st._replace(
+            keyframes=st.keyframes._replace(t=st.keyframes.t + kf_drift)
+        ),
+    )
+    e_pre_d = unaligned_err(drifted)
+    r2 = pipeline.run_posthoc_pgo(drifted, cfg)
+    e_post_d = unaligned_err(r2)
+    assert e_post_d[tail].mean() < 0.5 * e_pre_d[tail].mean(), (
+        e_pre_d[tail].mean(), e_post_d[tail].mean()
+    )
+
+    # And on the UNDRIFTED run PGO must not degrade the trajectory.
+    ate_pre = ate_mod.compute_ate(
+        result.timestamps, result.t, seq.timestamps, seq.t, with_scale=False
+    )
+    r3 = pipeline.run_posthoc_pgo(result, cfg)
+    ate_post = ate_mod.compute_ate(
+        r3.timestamps, r3.t, seq.timestamps, seq.t, with_scale=False
     )
     assert np.isfinite(ate_post.rmse)
     assert ate_post.rmse < ate_pre.rmse * 1.1, (ate_pre.rmse, ate_post.rmse)

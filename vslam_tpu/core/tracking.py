@@ -806,7 +806,7 @@ def tracking_step(
         ekf_st, t_fused, snap = _fuse_ekf(
             st, frame, config, t_meas, used_3d3d, motion_ok & ~frame.stationary
         )
-        R_new = se3.orthonormalize(R_new)
+        R_new = se3.renormalize_rotation(R_new)
         t_new = jnp.where(frame.stationary, st.t, t_fused)
 
         # Recovery overrides the visual/EKF pose and resets the filter

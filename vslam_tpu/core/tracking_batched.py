@@ -171,7 +171,7 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
     ekf_st, t_fused, snap = jax.vmap(
         lambda s, f, tm, u3, mo: T._fuse_ekf(s, f, config, tm, u3, mo)
     )(st, frame, t_meas, use_3d3d, motion_ok & ~frame.stationary)
-    R_new = se3.orthonormalize(R_new)
+    R_new = se3.renormalize_rotation(R_new)
     t_new = jnp.where(frame.stationary[:, None], st.t, t_fused)
 
     R_new = jnp.where(recovered[:, None, None], R_rec, R_new)

@@ -320,6 +320,38 @@ def polar3x3(A):
     return (U * D[..., None, :]) @ Vt
 
 
+def polar_newton3x3(A, iters=2):
+    """Nearest rotation to a NEAR-ORTHOGONAL (..., 3, 3) matrix via the
+    Newton polar iteration X <- (X + X^{-T}) / 2.
+
+    X^{-T} is the cofactor matrix over the determinant (nine cross
+    products) — ~30 fused element-wise ops per iteration, no matmuls, no
+    eigen chain. Quadratic convergence: an input within ~0.1 of SO(3)
+    (any rotation drifted by float round-off, i.e. every R produced by
+    composing rotations in the tracking step) reaches f32 machine
+    precision in 2 iterations. NOT safe for far-from-orthogonal inputs
+    (DLT outputs, descriptor covariances): the iteration preserves the
+    sign of det, so det<0 inputs converge to a reflection — those call
+    sites use the SVD-based `polar3x3`.
+    """
+    X = A
+    for _ in range(iters):
+        r0 = X[..., 0, :]
+        r1 = X[..., 1, :]
+        r2 = X[..., 2, :]
+        c0 = jnp.cross(r1, r2)
+        c1 = jnp.cross(r2, r0)
+        c2 = jnp.cross(r0, r1)
+        det = jnp.sum(r0 * c0, axis=-1)[..., None, None]
+        # inv(X)^T = cofactor(X) / det; cofactor rows are the cross
+        # products of the OTHER two rows.
+        inv_T = jnp.stack([c0, c1, c2], axis=-2) / jnp.where(
+            jnp.abs(det) < 1e-30, 1e-30, det
+        )
+        X = 0.5 * (X + inv_T)
+    return X
+
+
 def _cholesky_factor_small(H, eps=1e-20):
     """Unrolled batched Cholesky factor of (..., N, N) SPD; returns the
     lower factor as a list-of-lists of (...,) scalars (N static)."""

