@@ -247,3 +247,78 @@ def test_midas_pth_conversion(tmp_path):
     # load_or_init picks the checkpoint up from a search dir.
     _, src = w.load_or_init_midas(search_dirs=(str(tmp_path),))
     assert src.endswith("midas_v21_small_256.pt")
+
+
+def test_superpoint_torch_forward_parity(tmp_path):
+    """GOLDEN forward parity: the public MagicLeap SuperPointNet
+    (`FeatureExtractor.cpp:87-118` runs its ONNX export) reimplemented
+    in torch drives the same random checkpoint through both stacks —
+    our Flax forward must reproduce torch's semi/desc numerically.
+    Pins conv strides, SAME padding, pool placement, and head wiring,
+    not just state-dict key mapping."""
+    import torch
+    import torch.nn.functional as F
+
+    from vslam_tpu.models import weights as w
+
+    shapes = {
+        "conv1a": (64, 1, 3, 3), "conv1b": (64, 64, 3, 3),
+        "conv2a": (64, 64, 3, 3), "conv2b": (64, 64, 3, 3),
+        "conv3a": (128, 64, 3, 3), "conv3b": (128, 128, 3, 3),
+        "conv4a": (128, 128, 3, 3), "conv4b": (128, 128, 3, 3),
+        "convPa": (256, 128, 3, 3), "convPb": (65, 256, 1, 1),
+        "convDa": (256, 128, 3, 3), "convDb": (256, 256, 1, 1),
+    }
+    g = torch.Generator().manual_seed(7)
+    sd = {}
+    for name, s in shapes.items():
+        # Kaiming-scaled so activations stay O(1) through the 12-layer
+        # stack — unnormalized random weights blow up to ~1e5 where f32
+        # reassociation noise drowns a meaningful comparison.
+        std = (2.0 / (s[1] * s[2] * s[3])) ** 0.5
+        sd[f"{name}.weight"] = torch.randn(s, generator=g) * std
+        sd[f"{name}.bias"] = torch.randn(s[0], generator=g) * 0.01
+    p = tmp_path / "superpoint_v1.pth"
+    torch.save(sd, p)
+    params = w.superpoint_params_from_pth(str(p))
+
+    def torch_forward(x):
+        def c(x, n, pad=1):
+            return F.conv2d(x, sd[n + ".weight"], sd[n + ".bias"], padding=pad)
+
+        x = F.relu(c(x, "conv1a"))
+        x = F.relu(c(x, "conv1b"))
+        x = F.max_pool2d(x, 2, 2)
+        x = F.relu(c(x, "conv2a"))
+        x = F.relu(c(x, "conv2b"))
+        x = F.max_pool2d(x, 2, 2)
+        x = F.relu(c(x, "conv3a"))
+        x = F.relu(c(x, "conv3b"))
+        x = F.max_pool2d(x, 2, 2)
+        x = F.relu(c(x, "conv4a"))
+        x = F.relu(c(x, "conv4b"))
+        cPa = F.relu(c(x, "convPa"))
+        semi = c(cPa, "convPb", 0)
+        cDa = F.relu(c(x, "convDa"))
+        desc = c(cDa, "convDb", 0)
+        return semi, desc
+
+    rng = np.random.default_rng(3)
+    img = rng.random((1, 64, 80, 1)).astype(np.float32)
+    with torch.no_grad():
+        semi_t, desc_t = torch_forward(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))
+        )
+
+    # f32 compute for an exact comparison (production runs bf16).
+    model = sp.SuperPoint(compute_dtype=jnp.float32)
+    semi_j, desc_j = model.apply(params, jnp.asarray(img))
+
+    np.testing.assert_allclose(
+        np.asarray(semi_j), semi_t.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(desc_j), desc_t.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=1e-3,
+    )

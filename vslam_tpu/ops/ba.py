@@ -193,7 +193,7 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
         t_cw2 = (dR @ t_cw[..., None])[..., 0] + dt_
         R2 = jnp.swapaxes(R_cw2, -1, -2)
         t2 = -(R2 @ t_cw2[..., None])[..., 0]
-        return se3.renormalize_rotation(R2), t2, X + dx
+        return se3.orthonormalize(R2), t2, X + dx
 
     # Static observation mask — identical across LM iterations so that
     # accept/reject compares like with like.

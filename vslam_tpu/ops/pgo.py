@@ -130,7 +130,7 @@ def optimize(prob: PGOProblem, iterations: int = 20, damping: float = 1e-6):
         dR, dt = se3.exp_se3(delta)
         R_next = dR @ R_cur
         t_next = (dR @ t_cur[..., None])[..., 0] + dt
-        return (se3.renormalize_rotation(R_next), t_next)
+        return (se3.orthonormalize(R_next), t_next)
 
     R_out, t_out = jax.lax.fori_loop(0, iterations, body, (prob.R, prob.t))
     return R_out, t_out
