@@ -249,14 +249,13 @@ def main():
 
     result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
 
-    # Backend (PGO + windowed BA) runs once per sequence; amortize its wall
-    # time into the per-frame cost (reference ships local BA disabled,
-    # Config.h:99 — ours is on for this measurement). Warm first.
-    result_b = pipeline.run_posthoc_pgo(result, cfg)
-    result_b = pipeline.run_windowed_ba(result_b, cfg)
+    # Backend (PGO + windowed BA, fused into ONE device program) runs once
+    # per sequence; amortize its wall time into the per-frame cost
+    # (reference ships local BA disabled, Config.h:99 — ours is on for
+    # this measurement). Warm first.
+    result_b = pipeline.run_backend(result, cfg)
     t0 = time.perf_counter()
-    result_b = pipeline.run_posthoc_pgo(result, cfg)
-    result_b = pipeline.run_windowed_ba(result_b, cfg)
+    result_b = pipeline.run_backend(result, cfg)
     backend_s = time.perf_counter() - t0
     ate_backend = ate_mod.compute_ate(
         result_b.timestamps, result_b.t_smoothed, seq.timestamps, seq.t,

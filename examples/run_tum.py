@@ -144,10 +144,11 @@ def main():
     dt = time.perf_counter() - t0
     print(f"[track] {len(idxs)} frames in {dt:.2f}s ({len(idxs) / dt:.1f} fps)")
 
-    # ---- post-hoc PGO (+ optional windowed BA) ----
-    result = pipeline.run_posthoc_pgo(result, cfg, gravity=gravity, initial_height=h0)
+    # ---- post-hoc PGO (+ optional windowed BA), one fused program ----
     if args.ba or cfg.opt.enable_local_ba:
-        result = pipeline.run_windowed_ba(result, cfg)
+        result = pipeline.run_backend(result, cfg, gravity=gravity, initial_height=h0)
+    else:
+        result = pipeline.run_posthoc_pgo(result, cfg, gravity=gravity, initial_height=h0)
 
     # ---- dense cloud (device-side scanned fusion: O(1) dispatches per
     # chunk instead of one ~50 ms relay round trip per frame) ----

@@ -218,3 +218,34 @@ def test_bridge_keyframe_on_fast_rotation():
     # beyond the bootstrap one.
     assert int(np.asarray(st.kf_count)) >= 2, "bridge keyframes should fire"
     assert float(np.asarray(result.outputs.tracking_ok)[1:].mean()) > 0.6
+
+
+def test_fused_backend_matches_sequential_passes():
+    """run_backend (one device program) must reproduce
+    run_windowed_ba(run_posthoc_pgo(...)) up to float noise — the fusion
+    exists to delete relay round trips, not to change the math."""
+    cfg = tiny_test_config()
+    c = cfg.camera
+    seq = synthetic.make_sequence(
+        num_frames=24, max_keypoints=cfg.frontend.max_keypoints,
+        desc_dim=cfg.frontend.descriptor_dim, fx=c.fx, fy=c.fy, cx=c.cx,
+        cy=c.cy, width=c.width, height=c.height, seed=0, num_landmarks=800,
+    )
+    result, _ = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    r_seq = pipeline.run_windowed_ba(pipeline.run_posthoc_pgo(result, cfg), cfg)
+    r_fus = pipeline.run_backend(result, cfg)
+
+    np.testing.assert_allclose(r_fus.t, r_seq.t, atol=2e-3)
+    np.testing.assert_allclose(r_fus.t_smoothed, r_seq.t_smoothed, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_fus.final_state.keyframes.t),
+        np.asarray(r_seq.final_state.keyframes.t), atol=2e-3,
+    )
+    # BA-refined map points: same set of valid points, cm-level agreement.
+    v1 = np.asarray(r_seq.final_state.map.valid)
+    v2 = np.asarray(r_fus.final_state.map.valid)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(r_fus.final_state.map.pos)[v2],
+        np.asarray(r_seq.final_state.map.pos)[v1], atol=5e-2,
+    )

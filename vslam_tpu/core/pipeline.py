@@ -372,6 +372,120 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, config):
+    """PGO + windowed BA fused into ONE device program.
+
+    The separate `run_posthoc_pgo` / `run_windowed_ba` passes each cost
+    ~100 ms on the axon relay — almost entirely dispatch round trips and
+    host readbacks for slot selection / validity counts (the compute is
+    ~10-40 ms). Fusing the chain and moving every decision device-side
+    (lax.cond guards, argsort slot selection) leaves one dispatch and one
+    result fetch for the whole backend.
+    """
+    import jax.numpy as jnp
+
+    from vslam_tpu.ops import ba as ba_ops
+
+    kfs = st.keyframes
+    oc = config.opt
+    n_kf = jnp.sum(kfs.valid)
+
+    # ---- PGO (guarded: needs >= 2 keyframes) ----
+    def pgo_branch(_):
+        return _pgo_pass(
+            st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
+            config,
+        )
+
+    def pgo_skip(_):
+        return kfs.R, kfs.t, res_t, res_t_smoothed, st.map.pos
+
+    R1, t1, t_corr, t_corr_s, pos1 = jax.lax.cond(
+        n_kf >= 2, pgo_branch, pgo_skip, None
+    )
+    kfs1 = kfs._replace(R=R1, t=t1)
+    st1 = st._replace(keyframes=kfs1, map=st.map._replace(pos=pos1))
+
+    # ---- Windowed BA on the PGO-corrected state ----
+    W = oc.ba_window_kfs
+    big = jnp.iinfo(jnp.int32).max
+    # Last-W valid keyframes by frame id, OLDEST FIRST and with any
+    # invalid padding at the END — bundle_adjust gauge-fixes the first
+    # window pose, which must be a real keyframe.
+    order = jnp.argsort(
+        jnp.where(kfs1.valid, kfs1.frame_id, big)
+    ).astype(jnp.int32)
+    start = jnp.maximum(jnp.sum(kfs1.valid) - W, 0)
+    slots = jax.lax.dynamic_slice(order, (start,), (W,))
+    pose_ok = kfs1.valid[slots]
+    can_ba = (jnp.sum(pose_ok) >= 3) & (jnp.sum(st1.map.valid) >= 16)
+
+    def ba_branch(_):
+        X, uv, mask, cand = _build_ba_obs(
+            st1.map, kfs1, slots, config, oc.ba_max_points
+        )
+        mask = mask & pose_ok[:, None]
+        prob = ba_ops.BAProblem(
+            R=kfs1.R[slots],
+            t=kfs1.t[slots],
+            pose_valid=pose_ok,
+            X=X,
+            point_valid=jnp.sum(mask, axis=0) >= 2,
+            uv=uv,
+            obs_valid=mask,
+            fx=jnp.asarray(config.camera.fx), fy=jnp.asarray(config.camera.fy),
+            cx=jnp.asarray(config.camera.cx), cy=jnp.asarray(config.camera.cy),
+        )
+        R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
+            prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
+        )
+        # Invalid padding rows must never write back to the ring.
+        slots_wb = jnp.where(pose_ok, slots, kfs1.R.shape[0])
+        return _ba_finish(
+            kfs1, st1.map.pos, slots_wb, prob.t, R_opt, t_opt, X_opt, cand,
+            prob.point_valid, res_R, t_corr, t_corr_s, oc.ba_max_jump,
+        )
+
+    def ba_skip(_):
+        return kfs1.R, kfs1.t, t_corr, t_corr_s, st1.map.pos
+
+    R2, t2, t_corr2, t_corr2_s, pos2 = jax.lax.cond(
+        can_ba, ba_branch, ba_skip, None
+    )
+    return R2, t2, t_corr2, t_corr2_s, pos2
+
+
+def run_backend(result: RunResult, config: SlamConfig, gravity=None,
+                initial_height=0.0):
+    """Post-hoc PGO + windowed BA as one fused device program (see
+    `_backend_pass`); equivalent to
+    `run_windowed_ba(run_posthoc_pgo(result, config), config)` up to
+    float noise, minus ~10 relay round trips."""
+    st = result.final_state
+    R2, t2, t_corr, t_corr_s, pos2 = _backend_pass(
+        st, jnp.asarray(result.R), jnp.asarray(result.t),
+        jnp.asarray(result.t_smoothed),
+        None if gravity is None else jnp.asarray(gravity, jnp.float32),
+        jnp.asarray(initial_height, jnp.float32),
+        config,
+    )
+    R2, t2, t_corr, t_corr_s, pos2 = jax.device_get(
+        (R2, t2, t_corr, t_corr_s, pos2)
+    )
+    return RunResult(
+        timestamps=result.timestamps,
+        R=result.R,
+        t=np.asarray(t_corr),
+        t_smoothed=np.asarray(t_corr_s),
+        outputs=result.outputs,
+        final_state=st._replace(
+            map=st.map._replace(pos=jnp.asarray(pos2)),
+            keyframes=st.keyframes._replace(R=jnp.asarray(R2), t=jnp.asarray(t2)),
+        ),
+    )
+
+
 def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42, smooth=True):
     """End-to-end on a synthetic sequence: gravity init + stationarity +
     tracking + smoothing. Returns (RunResult, ate_result)."""

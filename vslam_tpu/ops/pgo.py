@@ -6,10 +6,10 @@ edges between consecutive keyframes with sigma-derived information,
 loop-closure edges, and the custom unary gravity-height prior edge
 (`EdgeHeightPrior`, `Optimizer.cpp:604-621`). g2o's sparse LM becomes a
 dense damped Gauss-Newton on TPU: residuals are batched closed-form se(3)
-logs, Jacobians come from one `jax.jacrev` over the stacked perturbation
-array, and the (6V x 6V) normal system (V <= 128 keyframes) is a single
-Cholesky solve — small enough that dense beats sparse bookkeeping on the
-MXU by a wide margin.
+logs, per-edge (6, 2x6) Jacobians come from a vmapped `jax.jacrev` and
+scatter-add into the normal system, and the (6V x 6V) solve (V <= 128
+keyframes) is a single Cholesky — small enough that dense assembly beats
+sparse bookkeeping on the MXU by a wide margin.
 
 Also provides the trajectory / map-point correction passes
 (`Optimizer.cpp:795-859`): non-keyframe poses move by time-interpolated
@@ -76,56 +76,105 @@ def build_odometry_edges(R, t, valid, frame_id, trans_sigma, rot_sigma):
     return i, j, R_rel, t_rel, info, e_valid
 
 
-def _residuals(xi, prob: PGOProblem):
-    """All stacked residuals given per-vertex perturbations xi (V, 6).
+def _edge_residual(xi_i, xi_j, Ri, ti, Rj, tj, eR, et, sqinfo):
+    """One edge's weighted residual (6,) under left perturbations of its
+    two endpoint vertices only."""
+    dRi, dti = se3.exp_se3(xi_i)
+    dRj, dtj = se3.exp_se3(xi_j)
+    Ri2 = dRi @ Ri
+    ti2 = (dRi @ ti[..., None])[..., 0] + dti
+    Rj2 = dRj @ Rj
+    tj2 = (dRj @ tj[..., None])[..., 0] + dtj
+    R_ij, t_ij = se3.relative(Ri2, ti2, Rj2, tj2)
+    R_err, t_err = se3.compose(*se3.inverse(eR, et), R_ij, t_ij)
+    return se3.log_se3(R_err, t_err) * sqinfo
 
-    Perturbed vertex: T_v' = exp(xi_v) ∘ T_v (left perturbation).
-    Edge residual: log( T_meas^{-1} ∘ (T_i'^{-1} T_j') )  (6,)
-    Height residual: g·t_i' - h  (1,)
-    """
+
+def _height_residual(xi, t, gravity, height, sqinfo):
+    """One vertex's weighted gravity-height residual () under its own
+    left perturbation."""
     dR, dt = se3.exp_se3(xi)
-    R_new = dR @ prob.R
-    t_new = (dR @ prob.t[..., None])[..., 0] + dt
-
-    Ri = R_new[prob.e_i]
-    ti = t_new[prob.e_i]
-    Rj = R_new[prob.e_j]
-    tj = t_new[prob.e_j]
-    R_ij, t_ij = se3.relative(Ri, ti, Rj, tj)
-    R_err, t_err = se3.compose(*se3.inverse(prob.e_R, prob.e_t), R_ij, t_ij)
-    r_edge = se3.log_se3(R_err, t_err)  # (E, 6)
-    r_edge = r_edge * jnp.sqrt(prob.e_info) * prob.e_valid[:, None]
-
-    r_h = (t_new @ prob.gravity - prob.height) * jnp.sqrt(prob.height_info)
-    r_h = r_h * prob.height_on * prob.v_valid  # (V,)
-    return jnp.concatenate([r_edge.reshape(-1), r_h])
+    t2 = (dR @ t[..., None])[..., 0] + dt
+    return (t2 @ gravity - height) * sqinfo
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize(prob: PGOProblem, iterations: int = 20, damping: float = 1e-6):
     """Damped Gauss-Newton over all vertices; vertex 0 fixed
-    (`Optimizer.cpp:668-700` fixes the first KF). Returns (R, t) optimized."""
+    (`Optimizer.cpp:668-700` fixes the first KF). Returns (R, t) optimized.
+
+    Jacobians exploit graph SPARSITY: each edge residual depends on only
+    its two endpoint perturbations, so per-edge (6, 2x6) jacrevs are
+    vmapped over edges and scatter-added into the dense normal system —
+    64x less differentiation work than jacrev over the stacked
+    (residuals, V*6) graph, which dominated this pass's runtime.
+    """
     V = prob.R.shape[0]
     dtype = prob.R.dtype
 
+    e_sqinfo = jnp.sqrt(prob.e_info) * prob.e_valid[:, None]  # (E, 6)
+    h_sqinfo = (
+        jnp.sqrt(prob.height_info)
+        * prob.height_on
+        * prob.v_valid.astype(dtype)
+    )  # (V,)
+
+    # Gauge fix + invalid-vertex freeze.
+    mask_v = prob.v_valid.astype(dtype).at[0].set(0.0)  # (V,)
+    mask = jnp.repeat(mask_v, 6)  # (V*6,)
+
+    edge_jac = jax.vmap(jax.jacrev(_edge_residual, argnums=(0, 1)))
+    height_jac = jax.vmap(jax.jacrev(_height_residual, argnums=0))
+
     def body(_, carry):
         R_cur, t_cur = carry
-        p = prob._replace(R=R_cur, t=t_cur)
-        xi0 = jnp.zeros((V, 6), dtype)
-        r = _residuals(xi0, p)
-        J = jax.jacrev(_residuals)(xi0, p)  # (Nr, V, 6)
-        Nr = r.shape[0]
-        J = J.reshape(Nr, V * 6)
-        # Gauge fix: zero out vertex 0 columns
-        mask = jnp.ones(V * 6, dtype).at[:6].set(0.0)
-        # Also freeze invalid vertices
-        vmask = jnp.repeat(prob.v_valid.astype(dtype), 6)
-        mask = mask * vmask
-        J = J * mask[None, :]
-        H = J.T @ J + (damping + 1e-8) * jnp.eye(V * 6, dtype=dtype)
-        g = J.T @ r
-        # Fixed/invalid rows get identity to stay zero.
-        delta = -jnp.linalg.solve(H + jnp.diag(1.0 - mask), g)
+        Ri, ti = R_cur[prob.e_i], t_cur[prob.e_i]
+        Rj, tj = R_cur[prob.e_j], t_cur[prob.e_j]
+
+        xi0e = jnp.zeros((prob.e_i.shape[0], 6), dtype)
+        r_e = jax.vmap(_edge_residual)(
+            xi0e, xi0e, Ri, ti, Rj, tj, prob.e_R, prob.e_t, e_sqinfo
+        )  # (E, 6)
+        Ji, Jj = edge_jac(
+            xi0e, xi0e, Ri, ti, Rj, tj, prob.e_R, prob.e_t, e_sqinfo
+        )  # (E, 6, 6) each
+
+        xi0v = jnp.zeros((V, 6), dtype)
+        r_h = jax.vmap(_height_residual)(
+            xi0v, t_cur, jnp.broadcast_to(prob.gravity, (V, 3)),
+            jnp.broadcast_to(prob.height, (V,)), h_sqinfo,
+        )  # (V,)
+        Jh = height_jac(
+            xi0v, t_cur, jnp.broadcast_to(prob.gravity, (V, 3)),
+            jnp.broadcast_to(prob.height, (V,)), h_sqinfo,
+        )  # (V, 6)
+
+        # Assemble H (V,6,V,6) and g (V,6) by scatter-add of edge blocks
+        # (duplicate vertex indices accumulate).
+        Hii = jnp.einsum("eab,eac->ebc", Ji, Ji)
+        Hjj = jnp.einsum("eab,eac->ebc", Jj, Jj)
+        Hij = jnp.einsum("eab,eac->ebc", Ji, Jj)
+        H4 = jnp.zeros((V, 6, V, 6), dtype)
+        ei, ej = prob.e_i, prob.e_j
+        H4 = H4.at[ei, :, ei, :].add(Hii)
+        H4 = H4.at[ej, :, ej, :].add(Hjj)
+        H4 = H4.at[ei, :, ej, :].add(Hij)
+        H4 = H4.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2))
+        vidx = jnp.arange(V)
+        H4 = H4.at[vidx, :, vidx, :].add(jnp.einsum("va,vb->vab", Jh, Jh))
+
+        g = jnp.zeros((V, 6), dtype)
+        g = g.at[ei].add(jnp.einsum("eab,ea->eb", Ji, r_e))
+        g = g.at[ej].add(jnp.einsum("eab,ea->eb", Jj, r_e))
+        g = g + Jh * r_h[:, None]
+        g = g.reshape(V * 6) * mask
+
+        H = H4.reshape(V * 6, V * 6) * mask[:, None] * mask[None, :]
+        H = H + (damping + 1e-8) * jnp.eye(V * 6, dtype=dtype)
+        # H is SPD (J^T J + damping + identity rows for frozen vertices):
+        # Cholesky beats LU-with-pivoting on TPU.
+        L = jnp.linalg.cholesky(H + jnp.diag(1.0 - mask))
+        delta = -jax.scipy.linalg.cho_solve((L, True), g)
         delta = (delta * mask).reshape(V, 6)
         dR, dt = se3.exp_se3(delta)
         R_next = dR @ R_cur
