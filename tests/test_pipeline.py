@@ -249,3 +249,37 @@ def test_fused_backend_matches_sequential_passes():
         np.asarray(r_fus.final_state.map.pos)[v2],
         np.asarray(r_seq.final_state.map.pos)[v1], atol=5e-2,
     )
+
+
+def test_dense_fusion_frame_batching_exact():
+    """frames_per_step batching must be EXACTLY equivalent to per-frame
+    insertion: the lowest-index-wins slot election makes earlier frames
+    win contested voxels and preserves append order."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.ops import gridhash
+
+    rng = np.random.default_rng(5)
+    N, H, W = 8, 24, 32
+    depths = jnp.asarray(rng.uniform(0.3, 4.0, (N, H, W)).astype(np.float32))
+    rgbs = jnp.asarray(rng.integers(0, 255, (N, H, W, 3)), jnp.uint8)
+    Rs = jnp.tile(jnp.eye(3, dtype=jnp.float32), (N, 1, 1))
+    ts = jnp.asarray(rng.normal(0, 0.05, (N, 3)).astype(np.float32))
+
+    outs = []
+    for F in (1, 4):
+        st = gridhash.init_dense_map(1 << 14, 4096)
+        st = gridhash.fuse_chunk_scan(
+            st, depths, rgbs, Rs, ts, 120.0, 120.0, 15.5, 11.5,
+            pixel_step=2, frames_per_step=F,
+        )
+        outs.append(st)
+    a, b = outs
+    assert int(a.cloud_count) == int(b.cloud_count)
+    n = int(a.cloud_count)
+    np.testing.assert_array_equal(
+        np.asarray(a.cloud_xyz)[:n], np.asarray(b.cloud_xyz)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.cloud_rgb)[:n], np.asarray(b.cloud_rgb)[:n]
+    )

@@ -14,6 +14,7 @@ accept of the reference's behavior at ~2x table load.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -101,11 +102,15 @@ def insert_points(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pixel_step", "max_depth", "voxel_size", "depth_min")
+    jax.jit,
+    static_argnames=(
+        "pixel_step", "max_depth", "voxel_size", "depth_min", "frames_per_step"
+    ),
 )
 def fuse_chunk_scan(
     state: DenseMapState, depths, rgbs, Rs, ts, fx, fy, cx, cy,
     pixel_step=8, max_depth=5.0, voxel_size=0.02, depth_min=0.1,
+    frames_per_step=1,
 ) -> DenseMapState:
     """Dense accumulation over a CHUNK of frames as one jitted scan.
 
@@ -114,19 +119,46 @@ def fuse_chunk_scan(
     here would cost ~50 ms relay RTT each (CLAUDE.md), so the whole chunk
     is state-threaded through `lax.scan` on device — O(1) dispatches.
 
+    `frames_per_step` batches F frames into ONE insert per scan step.
+    This is EXACTLY equivalent to per-frame insertion: the batch-internal
+    lowest-index-wins election (see `insert_points`) makes the earlier
+    frame win contested voxels, drops later-frame points whose voxel an
+    earlier frame filled, and appends winners in frame order — but the
+    scatter latency amortizes over F frames (the scan is latency-bound,
+    not bandwidth-bound; equivalence pinned by
+    tests/test_pipeline.py::test_dense_fusion_frame_batching_exact).
+
     depths: (N, H, W) float32 meters (0 = invalid); rgbs (N, H, W, 3) uint8
     or None; Rs (N, 3, 3); ts (N, 3). Padding frames with all-zero depth is
-    a no-op insert.
+    a no-op insert; N must be a multiple of frames_per_step (callers pad).
     """
     if rgbs is None:
         rgbs = jnp.zeros(depths.shape + (3,), jnp.uint8)
 
-    def step(st, inp):
-        depth, rgb, R, t = inp
-        pts, cols, valid = backproject_frame(
+    F = frames_per_step
+    N = depths.shape[0]
+    assert N % F == 0, (N, F)
+    if F > 1:
+        depths = depths.reshape(N // F, F, *depths.shape[1:])
+        rgbs = rgbs.reshape(N // F, F, *rgbs.shape[1:])
+        Rs = Rs.reshape(N // F, F, 3, 3)
+        ts = ts.reshape(N // F, F, 3)
+
+    def bp(depth, rgb, R, t):
+        return backproject_frame(
             depth, rgb, R, t, fx, fy, cx, cy,
             pixel_step=pixel_step, max_depth=max_depth, depth_min=depth_min,
         )
+
+    def step(st, inp):
+        depth, rgb, R, t = inp
+        if F > 1:
+            pts, cols, valid = jax.vmap(bp)(depth, rgb, R, t)
+            pts = pts.reshape(-1, 3)
+            cols = cols.reshape(-1, 3)
+            valid = valid.reshape(-1)
+        else:
+            pts, cols, valid = bp(depth, rgb, R, t)
         return insert_points(st, pts, cols, valid, voxel_size), None
 
     state, _ = jax.lax.scan(step, state, (depths, rgbs, Rs, ts))
@@ -136,7 +168,7 @@ def fuse_chunk_scan(
 def fuse_sequence(
     state: DenseMapState, depths, rgbs, Rs, ts, fx, fy, cx, cy,
     pixel_step=8, max_depth=5.0, voxel_size=0.02, depth_min=0.1,
-    chunk: int = 64,
+    chunk: int = 64, frames_per_step: int = 8,
 ) -> DenseMapState:
     """Fuse a whole sequence in fixed-size scanned chunks (bounds both the
     per-dispatch transfer size and the compiled program's memory)."""
@@ -160,6 +192,7 @@ def fuse_sequence(
             jnp.asarray(R), jnp.asarray(t), fx, fy, cx, cy,
             pixel_step=pixel_step, max_depth=max_depth,
             voxel_size=voxel_size, depth_min=depth_min,
+            frames_per_step=math.gcd(chunk, frames_per_step),
         )
     return state
 
