@@ -195,7 +195,7 @@ def main():
                 st, depths, rgbs, Rs, ts_, c.fx, c.fy, c.cx, c.cy,
                 pixel_step=cfg.dense.pixel_step, max_depth=cfg.dense.max_depth,
                 voxel_size=cfg.dense.voxel_size,
-                frames_per_step=math.gcd(n_frames, 8),
+                frames_per_step=math.gcd(n_frames, 16),
             )
             return st.cloud_count
 

@@ -168,7 +168,7 @@ def fuse_chunk_scan(
 def fuse_sequence(
     state: DenseMapState, depths, rgbs, Rs, ts, fx, fy, cx, cy,
     pixel_step=8, max_depth=5.0, voxel_size=0.02, depth_min=0.1,
-    chunk: int = 64, frames_per_step: int = 8,
+    chunk: int = 64, frames_per_step: int = 16,
 ) -> DenseMapState:
     """Fuse a whole sequence in fixed-size scanned chunks (bounds both the
     per-dispatch transfer size and the compiled program's memory)."""
