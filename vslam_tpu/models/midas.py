@@ -64,6 +64,10 @@ class MBConvLite(nn.Module):
     stride: int
     dtype: Any = jnp.bfloat16
 
+    # timm tf_efficientnet_lite3 (the backbone inside the public MiDaS
+    # v2.1-small checkpoint, exported with TF-SAME padding == JAX SAME)
+    # uses BN_EPS_TF_DEFAULT = 1e-3, not torch's 1e-5.
+
     @nn.compact
     def __call__(self, x, train=False):
         inp = x
@@ -71,17 +75,17 @@ class MBConvLite(nn.Module):
         ch_mid = ch_in * self.expand
         if self.expand != 1:
             x = nn.Conv(ch_mid, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
-            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn0")(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn0", epsilon=1e-3)(x)
             x = jnp.clip(x, 0, 6)
         x = nn.Conv(
             ch_mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
             padding="SAME", feature_group_count=ch_mid, use_bias=False,
             dtype=self.dtype, name="dw_conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1", epsilon=1e-3)(x)
         x = jnp.clip(x, 0, 6)
         x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn2")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn2", epsilon=1e-3)(x)
         if self.stride == 1 and ch_in == self.out_ch:
             x = x + inp
         return x
@@ -99,7 +103,7 @@ class EfficientNetLite3(nn.Module):
         # Lite rule: stem fixed at 32 channels.
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=dt, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=dt, name="stem_bn")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=dt, name="stem_bn", epsilon=1e-3)(x)
         x = jnp.clip(x, 0, 6)
 
         feats = {}
