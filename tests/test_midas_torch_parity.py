@@ -10,7 +10,6 @@ conditions, tap locations, align_corners=True 2x upsampling, fusion-block
 wiring, and head structure — not just state-dict key mapping."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
