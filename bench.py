@@ -10,6 +10,17 @@ on GPU; its per-frame loop includes dense voxel accumulation
 (`/root/reference/src/main.cpp:1081-1146`), so the dense-fusion scan is
 part of the per-frame metric here too.
 
+The HEADLINE number is MEASURED, not modeled: one jitted program ingests
+uint8 frames and runs SuperPoint -> decode -> keypoint depth -> tracking
+scan -> dense fusion coupled (`core/coupled.py`, mirroring the
+reference's everything-under-one-clock loop `src/main.cpp:1096-1309`),
+timed over rasterized synthetic room sequences, with the PGO/BA backend's
+once-per-sequence wall time amortized in. Per-stage programs are timed
+separately for attribution (detail.e2e_stage_sum_fps is the round-2
+style stage-sum), branch-execution counts accompany the coupled run so
+the workload is auditable, and per-stage achieved TFLOP/s are derived
+from the analytic FLOP model in `utils/flops.py`.
+
 Methodology (axon relay: ~50 ms dispatch RTT, block_until_ready does not
 synchronize — CLAUDE.md):
   * every stage is ONE jitted program scanned over the whole workload,
@@ -63,6 +74,15 @@ def main():
         "--multi", type=int, default=-1,
         help="batch size for multi-sequence tracking (production per-chip "
         "throughput config; -1 = default 4, 0 = skip)",
+    )
+    ap.add_argument(
+        "--no-coupled", action="store_true",
+        help="skip the measured coupled end-to-end program",
+    )
+    ap.add_argument(
+        "--multi-coupled", default=None,
+        help="comma-separated batch sizes for the MEASURED multi-sequence "
+        "coupled runs (default '4,8'; '' = skip)",
     )
     ap.add_argument("--iters", type=int, default=0, help="timed iterations per stage")
     args = ap.parse_args()
@@ -207,6 +227,144 @@ def main():
         dense_sprd = _spread(ts_dense)
         dense_fps = n_frames / dt_dense
 
+    # ---------------- MEASURED coupled end-to-end ----------------
+    # One program: uint8 frames -> SuperPoint -> decode -> kp depth ->
+    # tracking scan -> dense fusion (core/coupled.py). This is the
+    # headline; the stage timings above are attribution.
+    coupled_fps = None
+    coupled_sprd = 0.0
+    ts_coupled = None
+    coupled_diag = {}
+    multi_measured = {}
+    if not args.no_coupled:
+        from vslam_tpu.core import coupled as coupled_mod
+        from vslam_tpu.core.state import init_state as _init_state
+        from vslam_tpu.eval import ate as ate_mod2
+        from vslam_tpu.models import weights as wmod
+
+        CHUNK = 4 if args.tiny else 16
+        S = max(n_frames // CHUNK, 1)
+        nC = S * CHUNK
+        if args.multi_coupled is None:
+            mlist = [2] if args.tiny else [4, 8]
+        else:
+            mlist = [int(x) for x in args.multi_coupled.split(",") if x]
+        B_max = max(mlist + [1])
+
+        params_c, weight_src = wmod.load_or_init_superpoint(
+            height=c.height, width=c.width
+        )
+        img_seqs = [
+            synthetic.make_image_sequence(
+                nC, width=c.width, height=c.height,
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+                seed=s, num_landmarks=(600 if args.tiny else 6000),
+                radius=(2.0 if args.tiny else 3.0), with_rgb=(s == 0),
+            )
+            for s in range(B_max)
+        ]
+        d0 = img_seqs[0]
+        H, W = c.height, c.width
+        gray1 = jnp.asarray(d0["gray"].reshape(S, CHUNK, H, W))
+        dep1 = jnp.asarray(d0["depth_u16"].reshape(S, CHUNK, H, W))
+        rgb1 = jnp.asarray(d0["rgb"].reshape(S, CHUNK, H, W, 3))
+        tsc1 = jnp.asarray(
+            d0["timestamps"].reshape(S, CHUNK).astype(np.float32)
+        )
+        fid1 = jnp.asarray(np.arange(nC, dtype=np.int32).reshape(S, CHUNK))
+        stat1 = jnp.zeros((S, CHUNK), bool)
+        st_c0 = _init_state(cfg)
+        dn_c0 = gridhash.init_dense_map(
+            cfg.dense.hash_capacity, cfg.dense.cloud_capacity
+        )
+
+        def run_coupled_once():
+            _, _, outs = coupled_mod.run_coupled(
+                params_c, st_c0, dn_c0, gray1, dep1, rgb1, tsc1, fid1,
+                stat1, cfg,
+            )
+            return outs
+
+        outs_c = run_coupled_once()  # warm + diagnostics
+        ts_coupled = _timed(run_coupled_once, lambda o: float(jnp.sum(o.t)))
+        dt_c = float(np.median(ts_coupled))
+        coupled_sprd = _spread(ts_coupled)
+        coupled_fps = nC / dt_c
+
+        t_est = np.asarray(outs_c.t)
+        ate_c = ate_mod2.compute_ate(
+            d0["timestamps"], t_est, d0["timestamps"], d0["t"],
+            with_scale=False,
+        )
+        coupled_diag = {
+            "ate_rmse_coupled_m": round(float(ate_c.rmse), 4),
+            "weight_source": str(weight_src).split("/")[-1],
+            "frames": nC,
+            "branch_counts": {
+                "keyframes": int(np.asarray(outs_c.is_keyframe).sum()),
+                "bridged": int(np.asarray(outs_c.bridged).sum()),
+                "recovered": int(np.asarray(outs_c.recovered).sum()),
+                "essential_frames": int(
+                    (~np.asarray(outs_c.used_3d3d)
+                     & np.asarray(outs_c.tracking_ok)).sum()
+                ),
+                "tracked_frac": round(
+                    float(np.asarray(outs_c.tracking_ok)[1:].mean()), 4
+                ),
+                "mean_matches": round(
+                    float(np.asarray(outs_c.num_matches)[1:].mean()), 1
+                ),
+            },
+        }
+        del gray1, dep1, rgb1
+
+        # Measured multi-sequence coupled runs (B independent streams).
+        from vslam_tpu.parallel import mesh as pmesh2
+
+        for B in mlist:
+            if B <= 1:
+                continue
+            grayB = jnp.asarray(
+                np.stack([s["gray"] for s in img_seqs[:B]], axis=1)
+                .reshape(S, CHUNK, B, H, W)
+            )
+            depB = jnp.asarray(
+                np.stack([s["depth_u16"] for s in img_seqs[:B]], axis=1)
+                .reshape(S, CHUNK, B, H, W)
+            )
+            tsB = jnp.asarray(
+                np.stack(
+                    [s["timestamps"].astype(np.float32) for s in img_seqs[:B]],
+                    axis=1,
+                ).reshape(S, CHUNK, B)
+            )
+            fidB = jnp.asarray(
+                np.broadcast_to(
+                    np.arange(nC, dtype=np.int32)[:, None], (nC, B)
+                ).reshape(S, CHUNK, B)
+            )
+            statB = jnp.zeros((S, CHUNK, B), bool)
+            stsB = pmesh2.replicate_state(cfg, B)
+            dnB = jax.tree.map(lambda x: jnp.stack([x] * B), dn_c0)
+
+            def run_multi():
+                _, _, outs = coupled_mod.run_coupled_batched(
+                    params_c, stsB, dnB, grayB, depB, tsB, fidB, statB, cfg,
+                )
+                return outs
+
+            ts_m = _timed(
+                run_multi, lambda o: float(jnp.sum(o.t)),
+                iters=max(TIMED_ITERS - 2, 2),
+            )
+            dt_m = float(np.median(ts_m))
+            multi_measured[f"B{B}"] = {
+                "aggregate_fps": round(B * nC / dt_m, 2),
+                "per_seq_fps": round(nC / dt_m, 2),
+                "spread": round(_spread(ts_m), 4),
+            }
+            del grayB, depB, tsB, fidB, statB, stsB, dnB
+
     # ---------------- Batched multi-sequence tracking ----------------
     multi_fps = None
     multi_sprd = None
@@ -255,10 +413,13 @@ def main():
     # per sequence; amortize its wall time into the per-frame cost
     # (reference ships local BA disabled, Config.h:99 — ours is on for
     # this measurement). Warm first.
-    result_b = pipeline.run_backend(result, cfg)
-    t0 = time.perf_counter()
-    result_b = pipeline.run_backend(result, cfg)
-    backend_s = time.perf_counter() - t0
+    result_b = pipeline.run_backend(result, cfg)  # warm (compile)
+    ts_backend = []
+    for _ in range(TIMED_ITERS):
+        t0 = time.perf_counter()
+        result_b = pipeline.run_backend(result, cfg)
+        ts_backend.append(time.perf_counter() - t0)
+    backend_s = float(np.median(ts_backend))
     ate_backend = ate_mod.compute_ate(
         result_b.timestamps, result_b.t_smoothed, seq.timestamps, seq.t,
         with_scale=False,
@@ -271,51 +432,58 @@ def main():
         + (0.0 if args.no_dense else 1.0 / dense_fps)
         + backend_s / n_frames
     )
-    fps = 1.0 / per_frame
-    # Production multi-sequence configuration: B sequences per chip share
-    # the frontend/dense scans (per-frame cost identical) and the batched
-    # tracking step; backend runs once per sequence.
-    multi_e2e = None
-    if multi_fps:
-        pf_multi = (
-            (0.0 if args.no_frontend else 1.0 / sp_fps)
-            + 1.0 / multi_fps * 1.0  # aggregate tracking cost per frame
-            + (0.0 if args.no_dense else 1.0 / dense_fps)
-            + backend_s / n_frames
-        )
-        multi_e2e = 1.0 / pf_multi
+    stage_sum_fps = 1.0 / per_frame
 
-    # Run-to-run variation of the END-TO-END number: combine the i-th timed
-    # iteration of every stage into one per-frame cost and measure the
-    # spread of those. (A max over per-stage spreads over-weights fast,
-    # noisy stages — dense fusion at ~0.25 ms/frame can swing 2x without
-    # moving the e2e number by even 1%.)
-    e2e_iters = []
-    for i in range(TIMED_ITERS):
-        pf_i = (
-            (0.0 if args.no_frontend else ts_sp[i] / (n_chunks * sp_batch))
-            + ts_track[i] / n_frames
-            + (0.0 if args.no_dense else ts_dense[i] / n_frames)
-            + backend_s / n_frames
-        )
-        e2e_iters.append(pf_i)
+    # Headline: the MEASURED coupled program + once-per-sequence backend
+    # amortized per frame. Falls back to the stage-sum when --no-coupled.
+    if coupled_fps is not None:
+        nC = coupled_diag["frames"]
+        fps = 1.0 / (1.0 / coupled_fps + backend_s / nC)
+        e2e_iters = [
+            ts_coupled[min(i, len(ts_coupled) - 1)] / nC + ts_backend[i] / nC
+            for i in range(TIMED_ITERS)
+        ]
+    else:
+        fps = stage_sum_fps
+        e2e_iters = []
+        for i in range(TIMED_ITERS):
+            pf_i = (
+                (0.0 if args.no_frontend else ts_sp[i] / (n_chunks * sp_batch))
+                + ts_track[i] / n_frames
+                + (0.0 if args.no_dense else ts_dense[i] / n_frames)
+                + ts_backend[i] / n_frames
+            )
+            e2e_iters.append(pf_i)
     spread = _spread(e2e_iters)
+
+    # Achieved TFLOP/s from the analytic FLOP model (utils/flops.py) so
+    # MFU claims are auditable.
+    from vslam_tpu.utils import flops as flops_mod
+
+    sp_flops = flops_mod.superpoint_flops_per_frame(c.height, c.width)
+    tr_flops = flops_mod.tracking_flops_per_frame(
+        cfg.frontend.max_keypoints, cfg.frontend.descriptor_dim,
+        cfg.map.map_capacity,
+    )
 
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip end-to-end (SuperPoint + track + dense fusion + PGO/BA backend)",
+                "metric": "frames/sec/chip end-to-end MEASURED (uint8 frames -> SuperPoint -> track -> dense fusion, one program; + PGO/BA backend)",
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 200.0, 3),
                 "detail": {
                     "device": str(dev),
+                    "e2e_measured_fps": None if coupled_fps is None else round(coupled_fps, 2),
+                    "e2e_stage_sum_fps": round(stage_sum_fps, 2),
+                    "coupled": coupled_diag or None,
+                    "multi_coupled_measured": multi_measured or None,
                     "frontend_fps": None if args.no_frontend else round(sp_fps, 2),
                     "tracking_fps": round(track_fps, 2),
                     "dense_fusion_fps": None if args.no_dense else round(dense_fps, 2),
                     "multi_seq_tracking_fps": None if multi_fps is None else round(multi_fps, 2),
                     "multi_seq_batch": multi_b or None,
-                    "multi_seq_e2e_fps": None if multi_e2e is None else round(multi_e2e, 2),
                     "frames": n_frames,
                     "backend_s": round(backend_s, 3),
                     "timed_iters": TIMED_ITERS,
@@ -324,8 +492,14 @@ def main():
                         "frontend": round(sp_sprd, 4),
                         "tracking": round(track_sprd, 4),
                         "dense": round(dense_sprd, 4),
+                        "coupled": round(coupled_sprd, 4),
                         "multi": None if multi_sprd is None else round(multi_sprd, 4),
                     },
+                    "frontend_tflops": None if args.no_frontend else round(
+                        sp_flops * sp_fps / 1e12, 2
+                    ),
+                    "tracking_tflops": round(tr_flops * track_fps / 1e12, 2),
+                    "flop_model": flops_mod.describe(),
                     "ate_rmse_synthetic_m": round(ate_res.rmse, 4),
                     "ate_rmse_after_backend_m": round(ate_backend.rmse, 4),
                 },

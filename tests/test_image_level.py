@@ -1,10 +1,10 @@
-"""Pixels-in end-to-end: rendered images -> ORB features -> tracking -> ATE.
+"""Pixels-in end-to-end with the ORB FALLBACK frontend (C5).
 
 No feature cache, no injected observations: the frame stream is built
 purely from rasterized images + rendered depth maps, exercising the full
-detect -> describe -> match -> motion -> map -> smooth chain (the ORB
-fallback stands in for SuperPoint since no trained weights exist in this
-image)."""
+detect -> describe -> match -> motion -> map -> smooth chain through the
+classical fallback. The LEARNED SuperPoint counterpart (the flagship
+path) lives in tests/test_superpoint_learned.py."""
 
 import numpy as np
 import jax

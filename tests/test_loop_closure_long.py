@@ -165,4 +165,9 @@ def test_loop_closure_fires_and_pgo_reduces_ate():
         r3.timestamps, r3.t, seq.timestamps, seq.t, with_scale=False
     )
     assert np.isfinite(ate_post.rmse)
-    assert ate_post.rmse < ate_pre.rmse * 1.1, (ate_pre.rmse, ate_post.rmse)
+    # Gain gate: an accepted pass improves the constraint chi^2; a
+    # rejected pass is the identity — never worse either way (0.1%
+    # correction-interpolation wobble allowed).
+    assert ate_post.rmse <= ate_pre.rmse * 1.001 + 1e-6, (
+        ate_pre.rmse, ate_post.rmse
+    )

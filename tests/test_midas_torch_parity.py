@@ -196,6 +196,79 @@ def _torch_forward(x, sd):
     return h[:, 0]
 
 
+def test_midas_pt_checkpoint_roundtrip(tmp_path):
+    """Fabricated `midas_v21_small_256.pt` with the OFFICIAL MidasNet_small
+    state-dict key names (including `num_batches_tracked` counters and the
+    unused `refinenet4.resConfUnit1` block that real checkpoints carry)
+    saved to disk and round-tripped through `weights.midas_params_from_pth`
+    + `load_or_init_midas` — pins the converter against the opaque-
+    checkpoint contract (`src/DepthEstimator.cpp:15-112`) without needing
+    the real weights in this image."""
+    import torch
+
+    from vslam_tpu.models import weights as w
+
+    params = midas.init_params(jax.random.PRNGKey(3), size=64)
+    sd = _flax_to_torch_sd(params)
+
+    # Spot-pin literal official key names (MidasNet_small over timm
+    # tf_efficientnet_lite3) so the layout cannot silently drift with the
+    # builder's own torch reimplementation.
+    for key in [
+        "pretrained.layer1.0.weight",
+        "pretrained.layer1.1.running_var",
+        "pretrained.layer1.3.0.conv_dw.weight",
+        "pretrained.layer1.3.0.conv_pw.weight",
+        "pretrained.layer1.4.2.conv_pwl.weight",
+        "pretrained.layer2.0.0.conv_pw.weight",
+        "pretrained.layer3.0.4.bn3.running_mean",
+        "pretrained.layer3.1.0.conv_dw.weight",
+        "pretrained.layer4.0.5.bn2.weight",
+        "pretrained.layer4.1.0.conv_pwl.weight",
+        "scratch.layer1_rn.weight",
+        "scratch.layer4_rn.weight",
+        "scratch.refinenet1.resConfUnit1.conv1.weight",
+        "scratch.refinenet2.resConfUnit2.conv2.bias",
+        "scratch.refinenet4.resConfUnit2.conv1.weight",
+        "scratch.refinenet4.out_conv.weight",
+        "scratch.output_conv.0.weight",
+        "scratch.output_conv.2.bias",
+        "scratch.output_conv.4.bias",
+    ]:
+        assert key in sd, key
+
+    # Real checkpoints also carry BN bookkeeping + the unused refinenet4
+    # skip unit; the converter must tolerate both.
+    for key in [k for k in sd if k.endswith(".running_mean")]:
+        sd[key.replace(".running_mean", ".num_batches_tracked")] = torch.tensor(0)
+    c256 = sd["scratch.refinenet4.resConfUnit2.conv1.weight"]
+    sd["scratch.refinenet4.resConfUnit1.conv1.weight"] = torch.randn_like(c256)
+    sd["scratch.refinenet4.resConfUnit1.conv1.bias"] = torch.zeros(c256.shape[0])
+    sd["scratch.refinenet4.resConfUnit1.conv2.weight"] = torch.randn_like(c256)
+    sd["scratch.refinenet4.resConfUnit1.conv2.bias"] = torch.zeros(c256.shape[0])
+
+    p = tmp_path / "midas_v21_small_256.pt"
+    torch.save(sd, p)
+
+    loaded, src = w.load_or_init_midas(search_dirs=(str(tmp_path),))
+    assert src.endswith("midas_v21_small_256.pt")
+
+    # Round trip must reproduce the original Flax tree exactly.
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(loaded)}
+    for k, va in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(flat_b[jax.tree_util.keystr(k)]),
+            atol=1e-6, err_msg=jax.tree_util.keystr(k),
+        )
+
+    # And the converted tree drives the model.
+    img = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32)
+    d = midas.estimate_depth(loaded, img)
+    assert d.shape == (1, 64, 64)
+
+
 def test_midas_torch_forward_parity():
     import torch
 

@@ -129,6 +129,34 @@ def test_superpoint_pth_conversion(tmp_path):
     assert src.endswith("superpoint_v1.pth")
 
 
+def test_orb_frontend_batched_reference_params():
+    """OrbFrontend wires the reference ORB defaults (3000 kps capacity /
+    8 levels / factor 1.2, `include/Config.h:48-50`) and extracts a
+    100-frame stack in ONE vmapped jitted program (no host per-image
+    loop)."""
+    from vslam_tpu.config import tiny_test_config
+    from vslam_tpu.core import frontend as fe
+
+    cfg = tiny_test_config()
+    assert cfg.frontend.orb_max_keypoints == 3000
+    assert cfg.frontend.orb_num_levels == 8
+    assert cfg.frontend.orb_scale_factor == 1.2
+    front = fe.make_frontend(cfg, kind="orb")
+    assert front.num_levels == 8
+    rng = np.random.default_rng(0)
+    imgs = rng.random((100, cfg.camera.height, cfg.camera.width)).astype(np.float32)
+    xy, score, valid, desc = front.extract(imgs)
+    K, D = cfg.frontend.max_keypoints, cfg.frontend.descriptor_dim
+    assert xy.shape == (100, K, 2)
+    assert desc.shape == (100, K, D)
+    assert valid.shape == (100, K)
+    # Hamming-parity config (Config.h:48-56): 3000-kp budget + L2
+    # equivalents of the BF-Hamming gates.
+    pc = fe.orb_parity_config(cfg)
+    assert pc.frontend.max_keypoints == 3000
+    assert abs(pc.frontend.l2_ratio_threshold - 0.8**0.5) < 1e-6
+
+
 def test_frontend_factory_orb():
     from vslam_tpu.config import tiny_test_config
     from vslam_tpu.core import frontend as fe

@@ -73,8 +73,12 @@ def test_posthoc_pgo_preserves_accuracy():
         r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t, with_scale=False
     )
     assert np.isfinite(a2.rmse)
-    # On a healthy drift-free run PGO must not damage the trajectory.
-    assert a2.rmse < ate0.rmse * 1.5 + 5e-3
+    # On a healthy drift-free run PGO must not damage the trajectory
+    # (gain gate: rejected pass == identity; accepted pass improves the
+    # constraint chi^2). A 0.1% relative margin covers the float-level
+    # wobble of applying raw-keyframe deltas to the RTS-smoothed track —
+    # the reference's +12% regression mode is structurally excluded.
+    assert a2.rmse <= ate0.rmse * 1.001 + 1e-6, (ate0.rmse, a2.rmse)
 
 
 def test_recovery_from_feature_dropout():
@@ -139,7 +143,9 @@ def test_loop_closure_constraints_and_pgo():
     r2 = pipeline.run_posthoc_pgo(result, cfg)
     a2 = ate_mod.compute_ate(r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t,
                              with_scale=False)
-    assert a2.rmse < ate0.rmse * 1.5 + 5e-3
+    # Gain gate: consuming the constraints must never hurt (0.1%
+    # smoothed-track correction wobble allowed, see PGO test).
+    assert a2.rmse <= ate0.rmse * 1.001 + 1e-6, (ate0.rmse, a2.rmse)
 
 
 def test_windowed_ba_does_not_hurt():
@@ -153,7 +159,102 @@ def test_windowed_ba_does_not_hurt():
         r2.timestamps, r2.t_smoothed, seq.timestamps, seq.t, with_scale=False
     )
     assert np.isfinite(a2.rmse)
-    assert a2.rmse < ate0.rmse * 1.5 + 5e-3, (ate0.rmse, a2.rmse)
+    # Gain gate: never worse than the input trajectory (0.1% float-level
+    # smoothed-track correction wobble allowed, see PGO test).
+    assert a2.rmse <= ate0.rmse * 1.001 + 1e-6, (ate0.rmse, a2.rmse)
+
+
+def test_windowed_ba_fixes_noisy_poses():
+    """The BA gain gate must OPEN when there is real pose error: perturb
+    the tracked keyframe poses well above the pixel-noise floor and
+    require an accepted pass that moves the window keyframes back toward
+    their true (unperturbed) poses."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, seq = make_tiny_seq(num_frames=24)
+    result, _ = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    st = result.final_state
+    kf_valid = np.asarray(st.keyframes.valid)
+    kft_true = np.asarray(st.keyframes.t)
+    rng = np.random.default_rng(3)
+    noise = rng.normal(0, 0.08, kft_true.shape).astype(np.float32)
+    noise[~kf_valid] = 0.0
+    # Gauge: BA fixes the first (oldest) window keyframe — leave it true.
+    order = np.argsort(np.asarray(st.keyframes.frame_id)[kf_valid])
+    slots = np.nonzero(kf_valid)[0][order][-cfg.opt.ba_window_kfs:]
+    noise[slots[0]] = 0.0
+    perturbed = dataclasses.replace(
+        result,
+        final_state=st._replace(
+            keyframes=st.keyframes._replace(t=jnp.asarray(kft_true + noise))
+        ),
+    )
+    r2 = pipeline.run_windowed_ba(perturbed, cfg)
+    kft_after = np.asarray(r2.final_state.keyframes.t)
+    moved = slots[1:]
+    err_before = np.linalg.norm(noise[moved], axis=-1)
+    err_after = np.linalg.norm(kft_after[moved] - kft_true[moved], axis=-1)
+    # Gate opened (poses changed) and the window got closer to truth.
+    assert not np.allclose(kft_after[moved], kft_true[moved] + noise[moved])
+    assert err_after.mean() < 0.6 * err_before.mean(), (err_before, err_after)
+
+
+def test_map_saturation_eviction_policy():
+    """Full map: inserts evict the lowest found-ratio OLD points; young
+    points are protected; counters reset on the recycled slots. (The
+    reference's map grows unboundedly, `src/Map.cpp:20-30`; the bounded
+    store must keep accepting new observations.)"""
+    import jax.numpy as jnp
+
+    from vslam_tpu.core.state import MapStore
+    from vslam_tpu.core.tracking import _masked_free_slot_insert
+
+    M, K, D = 16, 6, 8
+    rng = np.random.default_rng(0)
+    store = MapStore(
+        pos=jnp.asarray(rng.normal(size=(M, 3)), jnp.float32),
+        desc=jnp.zeros((M, D), jnp.float32),
+        valid=jnp.ones(M, bool),
+        visible=jnp.full(M, 10, jnp.int32),
+        found=jnp.asarray(np.arange(M), jnp.int32),  # ratio ascends with slot
+        # Slots 0-3 created at KF 50 (age 1 at insert time) -> protected.
+        first_kf=jnp.asarray([50] * 4 + [0] * 12, jnp.int32),
+        num_obs=jnp.full(M, 5, jnp.int32),
+    )
+    new_pos = jnp.asarray(rng.normal(size=(K, 3)), jnp.float32)
+    store2, slots = _masked_free_slot_insert(
+        store, new_pos, jnp.ones((K, D), jnp.float32), jnp.ones(K, bool),
+        jnp.asarray(51, jnp.int32),
+    )
+    slots = np.asarray(slots)
+    assert (slots >= 0).all(), slots  # all inserted despite a full map
+    # Evicted: the six lowest-ratio old slots (4..9); young slots survive.
+    assert set(slots.tolist()) == {4, 5, 6, 7, 8, 9}, slots
+    np.testing.assert_array_equal(np.asarray(store2.pos)[:4], np.asarray(store.pos)[:4])
+    np.testing.assert_array_equal(np.asarray(store2.pos)[slots], np.asarray(new_pos))
+    assert (np.asarray(store2.num_obs)[slots] == 1).all()
+    assert (np.asarray(store2.first_kf)[slots] == 51).all()
+    assert np.asarray(store2.valid).all()
+
+
+def test_map_saturation_tracking_survives():
+    """Drive a sequence with a map capacity small enough to saturate
+    within the first keyframes: tracking must survive and stay accurate
+    (eviction keeps the freshest points near the camera)."""
+    import dataclasses
+
+    cfg, seq = make_tiny_seq(num_frames=24)
+    cfg = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, map_capacity=160)
+    )
+    result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    n_map = int(np.asarray(result.final_state.map.valid).sum())
+    assert n_map == 160, n_map  # saturated
+    ok = np.asarray(result.outputs.tracking_ok)
+    assert ok[1:].mean() > 0.8, ok
+    assert ate_res.rmse < 0.10, ate_res
 
 
 def test_seed_robustness():

@@ -51,6 +51,14 @@ class FrontendConfig:
     # MiDaS (Config.h:45)
     midas_input_size: int = 256
 
+    # ORB fallback (Config.h:48-50) + Hamming matching gates (:54, :56).
+    orb_max_keypoints: int = 3000
+    orb_scale_factor: float = 1.2
+    orb_num_levels: int = 8
+    orb_fast_threshold: float = 0.08
+    orb_distance_threshold: float = 30.0  # Hamming bits (DISTANCE_THRESHOLD)
+    orb_ratio_threshold: float = 0.8  # HAMMING_RATIO_THRESHOLD
+
     # Matching (Config.h:53-58)
     l2_ratio_threshold: float = 0.75
     flann_ratio_threshold: float = 0.7
@@ -70,6 +78,13 @@ class MotionConfig:
     # Fundamental gate (Slam.cpp:885 uses FM_RANSAC 3.0 px)
     fm_ransac_iters: int = 128
     fm_ransac_threshold_px: float = 3.0
+    # Reference-parity F-gate on the MAIN path: the reference gates EVERY
+    # frame's matches through findFundamentalMat and records mean
+    # symmetric epipolar error before/after (`src/Slam.cpp:879-910`).
+    # When False, the gate runs only inside the Essential fallback (the
+    # 3D-3D RANSAC is itself robust; skipping the gate there saves
+    # ~0.2 ms/frame at equal ATE on synthetic oracles — see BENCH_NOTES).
+    fgate_main_path: bool = True
 
     # 3D-3D RANSAC (Config.h:65-67)
     r3d_iters: int = 128  # reference: 200 sequential; batched refinement
@@ -172,7 +187,11 @@ class EKFConfig:
 class OptimizerConfig:
     """LM pose optimizer / local BA / PGO (Config.h:98-105, 132-137)."""
 
-    enable_local_ba: bool = False  # matches reference default (Config.h:99)
+    # The reference ships local BA implemented-but-disabled (Config.h:99)
+    # because an un-gated BA can regress a well-tracked trajectory. Ours
+    # accepts a window only when its Huber reprojection chi^2 strictly
+    # improves (ops.ba.window_cost gain gate), so it is safe to enable.
+    enable_local_ba: bool = True
     ba_max_jump: float = 0.5
     ba_window_kfs: int = 10
     ba_max_points: int = 2048
@@ -180,6 +199,15 @@ class OptimizerConfig:
     max_iterations: int = 10
     convergence: float = 1e-6
     lm_lambda: float = 1e-3
+
+    # Backend gain gates (new vs the reference, whose PGO/BA are dead or
+    # disabled): a pass RUNS only when its constraint residuals are
+    # significantly above their sigmas (below that, "optimizing" merely
+    # transfers measurement noise into the trajectory — the regression
+    # mode that made the reference ship BA off, Config.h:98-99), and its
+    # output is ACCEPTED only when the metric strictly improves.
+    ba_min_cost_per_obs: float = 4.0  # px^2 — ~2 px RMS before BA fires
+    pgo_min_chi2_per_dof: float = 2.0  # ~1.4 sigma mean residual to fire
 
     pgo_odom_trans_sigma: float = 0.05
     pgo_odom_rot_sigma: float = 0.02

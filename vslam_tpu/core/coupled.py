@@ -1,0 +1,188 @@
+"""One-program end-to-end pipeline: uint8 frames in, trajectory + dense
+cloud out.
+
+The reference does everything per frame under one clock on the SLAM
+thread (`/root/reference/src/main.cpp:1096-1309`): decode -> SuperPoint ->
+track -> dense voxel accumulation. The round-2 bench timed each stage as
+a separate program and summed the per-frame costs; this module is the
+measured counterpart — ONE jitted program scanned over frame chunks whose
+tracking consumes the frontend's actual output:
+
+  per chunk of C frames:
+    uint8 gray  -> normalize -> SuperPoint conv backbone (batched over C)
+                -> softmax/d2s decode + NMS + top-K + descriptor sampling
+    uint16 depth -> meters -> keypoint depth gather
+    -> lax.scan of the full tracking step over the C frames
+    -> dense voxel-hash fusion of the chunk (batched insert)
+
+so the MXU-heavy frontend batches across frames while the sequential
+state machine scans, all without leaving the device. A multi-sequence
+variant batches B independent streams through the same program (the
+production throughput configuration).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.core.state import FrameFeatures, TrackState
+from vslam_tpu.core.tracking import make_scan_step
+from vslam_tpu.core.tracking_batched import make_batched_scan_step
+from vslam_tpu.models import superpoint as sp
+from vslam_tpu.ops import gridhash, nms
+
+
+def _frontend_chunk(params, model, gray_u8, config: SlamConfig):
+    """(C, H, W) uint8 -> (kps, desc): the whole SuperPoint frontend."""
+    fc = config.frontend
+    images = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
+    semi, desc_c = model.apply(params, images)
+    kps, desc = nms.extract_keypoints(
+        semi, desc_c, max_keypoints=fc.max_keypoints,
+        radius=fc.sp_nms_radius, conf=fc.sp_confidence_threshold,
+    )
+    if desc.shape[-1] != fc.descriptor_dim:
+        # Small-descriptor configs (tests): truncate + renormalize, the
+        # same contract the ORB frontend applies.
+        desc = desc[..., : fc.descriptor_dim]
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
+        )
+    return kps, desc
+
+
+def _kp_depth(depth_m, kp_xy, config: SlamConfig):
+    """Nearest-pixel keypoint depth (`src/Slam.cpp:243-246`), batched."""
+    B, H, W = depth_m.shape
+    u = jnp.clip(jnp.round(kp_xy[..., 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(kp_xy[..., 1]).astype(jnp.int32), 0, H - 1)
+    return jax.vmap(lambda d, vv, uu: d[vv, uu])(depth_m, v, u)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "seed"))
+def run_coupled(
+    params,
+    state: TrackState,
+    dense: gridhash.DenseMapState,
+    gray,        # (S, C, H, W) uint8
+    depth_u16,   # (S, C, H, W) uint16 (value/depth_scale = meters)
+    rgb,         # (S, C, H, W, 3) uint8 or None
+    timestamps,  # (S, C) f32
+    frame_ids,   # (S, C) int32
+    stationary,  # (S, C) bool
+    config: SlamConfig,
+    seed: int = 42,
+):
+    """Run the full coupled pipeline over S chunks of C frames.
+
+    Returns (final TrackState, DenseMapState, StepOutputs stacked
+    (S*C, ...)). The caller times this ONE program; a scalar readback of
+    the outputs is the completion barrier (CLAUDE.md relay rules).
+    """
+    model = sp.SuperPoint()
+    track = make_scan_step(config, seed=seed)
+    c = config.camera
+    C = gray.shape[1]
+    dn = config.dense
+
+    def chunk_step(carry, xs):
+        st, dst = carry
+        g, d16, rgb_c, ts, fids, stat = xs
+        kps, desc = _frontend_chunk(params, model, g, config)
+        depth_m = d16.astype(jnp.float32) / c.depth_scale
+        kpd = _kp_depth(depth_m, kps.xy, config)
+        frames = FrameFeatures(
+            xy=kps.xy, desc=desc, depth=kpd, valid=kps.valid,
+            timestamp=ts, stationary=stat, frame_id=fids,
+        )
+        st, outs = jax.lax.scan(track, st, frames)
+        dst = gridhash.fuse_chunk_scan(
+            dst, depth_m, rgb_c, outs.R, outs.t, c.fx, c.fy, c.cx, c.cy,
+            pixel_step=dn.pixel_step, max_depth=dn.max_depth,
+            voxel_size=dn.voxel_size, frames_per_step=C,
+        )
+        return (st, dst), outs
+
+    if rgb is None:
+        rgb = jnp.zeros(gray.shape + (3,), jnp.uint8)
+    (state, dense), outs = jax.lax.scan(
+        chunk_step, (state, dense),
+        (gray, depth_u16, rgb, timestamps, frame_ids, stationary),
+    )
+    outs = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+    return state, dense, outs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "seed"))
+def run_coupled_batched(
+    params,
+    states: TrackState,            # leaves (B, ...)
+    dense: gridhash.DenseMapState,  # leaves (B, ...)
+    gray,        # (S, C, B, H, W) uint8
+    depth_u16,   # (S, C, B, H, W) uint16
+    timestamps,  # (S, C, B) f32
+    frame_ids,   # (S, C, B) int32
+    stationary,  # (S, C, B) bool
+    config: SlamConfig,
+    seed: int = 42,
+):
+    """Multi-sequence coupled pipeline: B independent streams per chip.
+
+    The frontend batches C*B frames per chunk (one big conv batch); the
+    tracking inner scan advances all B members per frame via the
+    hand-batched step (rare branches hoisted, `core.tracking_batched`);
+    dense fusion vmaps over per-member voxel tables. Dense colors are
+    dropped (gray clouds) to keep B full streams resident in HBM.
+
+    Returns (states, dense, outs) with outs leaves (S*C, B, ...).
+    """
+    model = sp.SuperPoint()
+    track = make_batched_scan_step(config, seed=seed)
+    c = config.camera
+    dn = config.dense
+    S, C, B = gray.shape[:3]
+
+    def fuse_member(dst, depth_m, Rs, ts_):
+        return gridhash.fuse_chunk_scan(
+            dst, depth_m, None, Rs, ts_, c.fx, c.fy, c.cx, c.cy,
+            pixel_step=dn.pixel_step, max_depth=dn.max_depth,
+            voxel_size=dn.voxel_size, frames_per_step=C,
+        )
+
+    def chunk_step(carry, xs):
+        sts, dst = carry
+        g, d16, ts, fids, stat = xs
+        flat = g.reshape((C * B,) + g.shape[2:])
+        kps, desc = _frontend_chunk(params, model, flat, config)
+        depth_m = d16.astype(jnp.float32) / c.depth_scale
+        kpd = _kp_depth(
+            depth_m.reshape((C * B,) + depth_m.shape[2:]), kps.xy, config
+        )
+
+        def unflat(x):
+            return x.reshape((C, B) + x.shape[1:])
+
+        frames = FrameFeatures(
+            xy=unflat(kps.xy), desc=unflat(desc), depth=unflat(kpd),
+            valid=unflat(kps.valid), timestamp=ts, stationary=stat,
+            frame_id=fids,
+        )
+        sts, outs = jax.lax.scan(track, sts, frames)  # outs: (C, B, ...)
+        # (C, B, H, W) -> (B, C, H, W) per-member chunks
+        dmem = jnp.swapaxes(depth_m, 0, 1)
+        Rs = jnp.swapaxes(outs.R, 0, 1)
+        tps = jnp.swapaxes(outs.t, 0, 1)
+        dst = jax.vmap(fuse_member)(dst, dmem, Rs, tps)
+        return (sts, dst), outs
+
+    (states, dense), outs = jax.lax.scan(
+        chunk_step, (states, dense),
+        (gray, depth_u16, timestamps, frame_ids, stationary),
+    )
+    outs = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+    return states, dense, outs

@@ -70,39 +70,69 @@ class SuperPointFrontend:
 
 class OrbFrontend:
     """ORB fallback frontend with the SuperPointFrontend interface
-    (the reference swaps in cv::ORB when the SuperPoint model is absent,
-    `src/FeatureExtractor.cpp:12-15, 210-214`)."""
+    (the reference swaps in `cv::ORB::create(3000, 1.2, 8)` when the
+    SuperPoint model is absent, `src/FeatureExtractor.cpp:12-15, 210-214`;
+    `include/Config.h:48-50`).
 
-    def __init__(self, config: SlamConfig, num_levels: int = 4):
-        self.config = config
-        self.num_levels = num_levels
-        self.weight_source = "orb-fallback"
+    Detection runs at the reference's pyramid parameters (8 levels,
+    factor 1.2), vmapped over the whole frame stack in one jitted program
+    — no host per-image loop. The keypoint CAPACITY is the pipeline's
+    `frontend.max_keypoints` static shape; use `orb_parity_config` to run
+    the whole pipeline at the reference's 3000-keypoint budget and
+    Hamming-equivalent match gates.
+    """
 
-    def extract(self, gray_batch: np.ndarray):
+    def __init__(self, config: SlamConfig, num_levels: Optional[int] = None):
         from vslam_tpu.ops import orb
 
-        imgs = np.asarray(gray_batch, np.float32)
-        if imgs.max() > 1.5:
+        self.config = config
+        fc = config.frontend
+        self.num_levels = num_levels or fc.orb_num_levels
+        self.weight_source = "orb-fallback"
+        K, D = fc.max_keypoints, fc.descriptor_dim
+        levels, sf, thr = self.num_levels, fc.orb_scale_factor, fc.orb_fast_threshold
+
+        @jax.jit
+        def _extract(imgs):
+            def one(img):
+                xy, score, valid, desc = orb.detect_orb(
+                    img, max_keypoints=K, num_levels=levels,
+                    scale_factor=sf, threshold=thr,
+                )
+                d = desc[:, :D]
+                d = d / jnp.maximum(
+                    jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8
+                )
+                return xy, score, valid, d
+
+            return jax.vmap(one)(imgs)
+
+        self._extract = _extract
+
+    def extract(self, gray_batch: np.ndarray):
+        imgs = jnp.asarray(gray_batch, jnp.float32)
+        if float(imgs.max()) > 1.5:
             imgs = imgs / 255.0
-        K = self.config.frontend.max_keypoints
-        D = self.config.frontend.descriptor_dim
-        xs, ss, vs, ds = [], [], [], []
-        for img in imgs:
-            xy, score, valid, desc = orb.detect_orb(
-                jnp.asarray(img), max_keypoints=K, num_levels=self.num_levels
-            )
-            d = np.asarray(desc)[:, :D]
-            d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
-            xs.append(np.asarray(xy))
-            ss.append(np.asarray(score))
-            vs.append(np.asarray(valid))
-            ds.append(d)
-        return (
-            jnp.asarray(np.stack(xs)),
-            jnp.asarray(np.stack(ss)),
-            jnp.asarray(np.stack(vs)),
-            jnp.asarray(np.stack(ds)),
+        return self._extract(imgs)
+
+
+def orb_parity_config(config: SlamConfig) -> SlamConfig:
+    """Config adjusted to the reference's ORB-fallback run semantics
+    (`include/Config.h:48-56`): 3000-keypoint capacity and L2 equivalents
+    of the BF-Hamming gates. For +-1/sqrt(D) unit descriptors,
+    L2^2 = 4*Hamming/D, so DISTANCE_THRESHOLD=30 bits -> L2 ~ 0.68 and
+    HAMMING_RATIO_THRESHOLD=0.8 on Hamming counts -> sqrt(0.8) on L2."""
+    import dataclasses
+    import math
+
+    fc = config.frontend
+    return config.replace(
+        frontend=dataclasses.replace(
+            fc,
+            max_keypoints=fc.orb_max_keypoints,
+            l2_ratio_threshold=math.sqrt(fc.orb_ratio_threshold),
         )
+    )
 
 
 def make_frontend(config: SlamConfig, kind: str = "auto", params=None, key=None):

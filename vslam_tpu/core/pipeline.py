@@ -183,6 +183,24 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
     )
     R_opt, t_opt = pgo.optimize(prob, iterations=oc.pgo_iterations)
 
+    # Gain gate (two conditions; see OptimizerConfig):
+    # 1. SIGNIFICANCE — the loop/height constraints must be violated well
+    #    beyond their sigmas (chi^2 per dof). Odometry edges are built
+    #    from the current poses (zero residual), so chi2_before measures
+    #    exactly the informative constraints; at noise level the global
+    #    optimum just redistributes measurement noise and the pass is
+    #    skipped outright.
+    # 2. IMPROVEMENT — the optimized poses must strictly reduce the total
+    #    constraint chi^2 (divergence guard).
+    chi2_before = pgo.total_chi2(prob, kfs.R, kfs.t)
+    chi2_after = pgo.total_chi2(prob, R_opt, t_opt)
+    n_height = jnp.sum(kfs.valid) * st.has_height
+    dof = 6 * jnp.sum(l_fresh) + n_height
+    significant = chi2_before > oc.pgo_min_chi2_per_dof * jnp.maximum(dof, 1)
+    accept = significant & (chi2_after < chi2_before * (1.0 - 1e-5))
+    R_opt = jnp.where(accept, R_opt, kfs.R)
+    t_opt = jnp.where(accept, t_opt, kfs.t)
+
     frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
     _, t_corr = pgo.correct_trajectory(
         frame_ids, res_R, res_t, kfs.frame_id, kfs.valid, kfs.R, kfs.t,
@@ -352,6 +370,14 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
         prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
     )
+    # Gain gate (same as the fused backend; see ba_accept_window).
+    accept = ba_ops.ba_accept_window(
+        prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
+        min_cost_per_obs=oc.ba_min_cost_per_obs,
+    )
+    R_opt = jnp.where(accept, R_opt, prob.R)
+    t_opt = jnp.where(accept, t_opt, prob.t)
+    X_opt = jnp.where(accept, X_opt, prob.X)
 
     R_new, t_new, t_corr, t_corr_s, pos_new = _ba_finish(
         kfs, st.map.pos, slots, prob.t, R_opt, t_opt, X_opt, cand,
@@ -419,7 +445,11 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
     start = jnp.maximum(jnp.sum(kfs1.valid) - W, 0)
     slots = jax.lax.dynamic_slice(order, (start,), (W,))
     pose_ok = kfs1.valid[slots]
-    can_ba = (jnp.sum(pose_ok) >= 3) & (jnp.sum(st1.map.valid) >= 16)
+    can_ba = (
+        (jnp.sum(pose_ok) >= 3)
+        & (jnp.sum(st1.map.valid) >= 16)
+        & config.opt.enable_local_ba
+    )
 
     def ba_branch(_):
         X, uv, mask, cand = _build_ba_obs(
@@ -440,6 +470,15 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
         R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
             prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
         )
+        # Gain gate: significance + joint-cost + pose-vs-original-points
+        # (ba_accept_window).
+        accept = ba_ops.ba_accept_window(
+            prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
+            min_cost_per_obs=oc.ba_min_cost_per_obs,
+        )
+        R_opt = jnp.where(accept, R_opt, prob.R)
+        t_opt = jnp.where(accept, t_opt, prob.t)
+        X_opt = jnp.where(accept, X_opt, prob.X)
         # Invalid padding rows must never write back to the ring.
         slots_wb = jnp.where(pose_ok, slots, kfs1.R.shape[0])
         return _ba_finish(

@@ -139,6 +139,15 @@ class StepOutputs(NamedTuple):
     is_keyframe: jnp.ndarray
     used_3d3d: jnp.ndarray
     tracking_ok: jnp.ndarray
+    # Mean symmetric epipolar error of KF matches before/after the
+    # fundamental gate (`src/Slam.cpp:889-904`; 0 when the gate is off or
+    # found no model).
+    epi_before: jnp.ndarray
+    epi_after: jnp.ndarray
+    # Branch-execution flags (workload honesty for the bench: how often
+    # the rare expensive paths actually fired).
+    bridged: jnp.ndarray
+    recovered: jnp.ndarray
 
 
 def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_height=0.0) -> TrackState:

@@ -66,8 +66,18 @@ def _single_view_scale(R_rel, t_rel, p_kf, xn_cur, valid):
 
 
 def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, kf_id):
-    """Insert up to K new points into free map slots (static-shape
-    compaction: the reference simply push_backs, `src/Map.cpp:20-30`).
+    """Insert up to K new points into map slots (static-shape compaction:
+    the reference simply push_backs into an unbounded vector,
+    `src/Map.cpp:20-30`).
+
+    Free slots are consumed first; once the map is FULL, the weakest
+    established points — lowest found/visible ratio among points at least
+    3 keyframes old (the cull policy's own quality metric,
+    `src/Slam.cpp:1111-1126`) — are evicted to make room, so a bounded
+    map keeps the unbounded-growth semantics of always accepting new
+    observations. Young points (< 3 KFs old, ratio still noisy) are never
+    evicted; if free + evictable slots run out, the remaining new points
+    are dropped.
 
     Returns (map_store, slot_of_new (K,) int32 with -1 for not-inserted).
     """
@@ -75,7 +85,6 @@ def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, 
     K = new_valid.shape[0]
     new_desc = new_desc.astype(map_store.desc.dtype)
     free = ~map_store.valid
-    free_rank = jnp.cumsum(free) - 1  # (M,) rank among free slots
     n_new = jnp.sum(new_valid)
 
     # Compact new points to the front (stable: valid first, original order).
@@ -83,8 +92,20 @@ def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, 
     pos_c = new_pos[order]
     desc_c = new_desc[order]
 
-    take = free & (free_rank < n_new)
-    src = jnp.clip(free_rank, 0, K - 1)
+    # Destination ranking: free slots first (slot order), then evictable
+    # valid slots by ascending found-ratio, protected slots last.
+    PROT = jnp.asarray(1e9, jnp.float32)
+    age = kf_id - map_store.first_kf
+    ratio = map_store.found / jnp.maximum(map_store.visible, 1).astype(jnp.float32)
+    dest_key = jnp.where(
+        free, 0.0, jnp.where(age >= 3, 1.0 + ratio, PROT)
+    )
+    dest_order = jnp.argsort(dest_key, stable=True).astype(jnp.int32)
+    dest_rank = (
+        jnp.zeros(M, jnp.int32).at[dest_order].set(jnp.arange(M, dtype=jnp.int32))
+    )
+    take = (dest_rank < n_new) & (dest_key < PROT)
+    src = jnp.clip(dest_rank, 0, K - 1)
     pos_new = jnp.where(take[:, None], pos_c[src], map_store.pos)
     desc_new = jnp.where(take[:, None], desc_c[src], map_store.desc)
     valid_new = map_store.valid | take
@@ -138,6 +159,33 @@ def _match_to_keyframe(state: TrackState, frame: FrameFeatures, config: SlamConf
     return m, uv_kf, uv_cur, m.valid, n_raw
 
 
+def _fundamental_gate(uv_kf, uv_cur, gated, config, key):
+    """Main-path fundamental RANSAC gate + epipolar diagnostics
+    (`src/Slam.cpp:879-910`): estimate F over the current matches, filter
+    to its inliers, and record the mean symmetric epipolar error of the
+    match set before and after the gate (the reference's HUD metric,
+    `src/main.cpp:1220-1260`).
+
+    Returns (gated', epi_before, epi_after)."""
+    from vslam_tpu.ops import epipolar as epi_ops
+
+    mc = config.motion
+    F, fres = rs.ransac_fundamental(
+        key, uv_kf, uv_cur, gated,
+        num_hypotheses=mc.fm_ransac_iters,
+        threshold_px=mc.fm_ransac_threshold_px,
+    )
+    gated_new = jnp.where(fres.ok, gated & fres.inlier_mask, gated)
+    d = epi_ops.epipolar_distance(F, uv_kf, uv_cur)
+
+    def masked_mean(mask):
+        return jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    epi_before = jnp.where(fres.ok, masked_mean(gated), 0.0)
+    epi_after = jnp.where(fres.ok, masked_mean(gated_new), 0.0)
+    return gated_new, epi_before, epi_after
+
+
 def _motion_3d3d(state, frame, config, m, uv_kf, uv_cur, gated, key):
     """3D-3D RANSAC part of motion estimation (`src/Slam.cpp:214-375`).
 
@@ -183,12 +231,16 @@ def _motion_essential(state, frame, config, uv_kf, uv_cur, gated,
     mc = config.motion
     depth_kf = state.kf_depth
     kf1, kf2 = jax.random.split(key)
-    _, fres = rs.ransac_fundamental(
-        kf1, uv_kf, uv_cur, gated,
-        num_hypotheses=mc.fm_ransac_iters,
-        threshold_px=mc.fm_ransac_threshold_px,
-    )
-    gated_f = jnp.where(fres.ok, gated & fres.inlier_mask, gated)
+    if mc.fgate_main_path:
+        # Matches already passed the main-path F-gate — don't redo it.
+        gated_f = gated
+    else:
+        _, fres = rs.ransac_fundamental(
+            kf1, uv_kf, uv_cur, gated,
+            num_hypotheses=mc.fm_ransac_iters,
+            threshold_px=mc.fm_ransac_threshold_px,
+        )
+        gated_f = jnp.where(fres.ok, gated & fres.inlier_mask, gated)
     Re, te, E, rese = rs.ransac_essential(
         kf2, uv_kf, uv_cur, gated_f, fx, fy, cx, cy,
         num_hypotheses=mc.em_ransac_iters,
@@ -717,6 +769,10 @@ def _bootstrap(st: TrackState, frame: FrameFeatures, config: SlamConfig):
         is_keyframe=jnp.asarray(True),
         used_3d3d=jnp.asarray(False),
         tracking_ok=jnp.asarray(True),
+        epi_before=jnp.asarray(0.0, jnp.float32),
+        epi_after=jnp.asarray(0.0, jnp.float32),
+        bridged=jnp.asarray(False),
+        recovered=jnp.asarray(False),
     )
     return (
         st2._replace(
@@ -748,7 +804,9 @@ def tracking_step(
     thresholds cannot tolerate the TPU's default bf16 matmul passes
     (descriptor matmuls lose a little speed; correctness wins).
     """
-    k_match, k_motion, k_pnp, k_recover, k_loop, k_periodic = jax.random.split(key, 6)
+    (
+        k_match, k_motion, k_pnp, k_recover, k_loop, k_periodic, k_fgate
+    ) = jax.random.split(key, 7)
 
     # Descriptors are stored/matched in bf16 (see core.state.init_state);
     # cast the incoming frame's once so every consumer agrees on dtype.
@@ -776,6 +834,16 @@ def tracking_step(
             lambda s: (s, m, uv_kf, uv_cur, gated, n_raw),
             st,
         )
+
+        # Main-path fundamental gate + epipolar diagnostics
+        # (`src/Slam.cpp:879-910`; reference gates EVERY frame).
+        if config.motion.fgate_main_path:
+            gated, epi_before, epi_after = _fundamental_gate(
+                uv_kf, uv_cur, gated, config, k_fgate
+            )
+        else:
+            epi_before = jnp.asarray(0.0, jnp.float32)
+            epi_after = jnp.asarray(0.0, jnp.float32)
         n_matches = jnp.sum(gated)
 
         R_mot, t_mot, used_3d3d, motion_ok, n_inl, new_scale = _estimate_motion(
@@ -929,6 +997,10 @@ def tracking_step(
             is_keyframe=is_kf,
             used_3d3d=used_3d3d,
             tracking_ok=motion_ok,
+            epi_before=epi_before,
+            epi_after=epi_after,
+            bridged=can_bridge,
+            recovered=recovered,
         )
         return st_out, out
 

@@ -62,15 +62,19 @@ def _zero_outputs(B: int, dtype=jnp.float32) -> StepOutputs:
         is_keyframe=jnp.zeros(B, bool),
         used_3d3d=jnp.zeros(B, bool),
         tracking_ok=jnp.zeros(B, bool),
+        epi_before=jnp.zeros(B, f),
+        epi_after=jnp.zeros(B, f),
+        bridged=jnp.zeros(B, bool),
+        recovered=jnp.zeros(B, bool),
     )
 
 
 def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, keys):
     """Batched equivalent of `tracking.tracking_step`'s track() body."""
     B = frame.timestamp.shape[0]
-    ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)  # (B, 6, 2)
-    k_match, k_motion, k_pnp, k_recover, k_loop, k_periodic = (
-        ks[:, i] for i in range(6)
+    ks = jax.vmap(lambda k: jax.random.split(k, 7))(keys)  # (B, 7, 2)
+    k_match, k_motion, k_pnp, k_recover, k_loop, k_periodic, k_fgate = (
+        ks[:, i] for i in range(7)
     )
 
     # ---- 1. Match vs the active keyframe (always; one batched matmul) ----
@@ -98,6 +102,16 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
         lambda args: args,
         (st, m, uv_kf, uv_cur, gated, n_raw),
     )
+
+    # ---- 2b. Main-path fundamental gate (always-on when enabled; it runs
+    # every frame in the unbatched step too, so vmap — not hoist) ----
+    if config.motion.fgate_main_path:
+        gated, epi_before, epi_after = jax.vmap(
+            lambda ukf, ucur, g, k: T._fundamental_gate(ukf, ucur, g, config, k)
+        )(uv_kf, uv_cur, gated, k_fgate)
+    else:
+        epi_before = jnp.zeros(B, jnp.float32)
+        epi_after = jnp.zeros(B, jnp.float32)
     n_matches = jnp.sum(gated, axis=-1)
 
     # ---- 3. Motion: 3D-3D always (batched small-matrix RANSAC) ----
@@ -310,6 +324,10 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
         is_keyframe=is_kf,
         used_3d3d=use_3d3d,
         tracking_ok=motion_ok,
+        epi_before=epi_before,
+        epi_after=epi_after,
+        bridged=can_bridge,
+        recovered=recovered,
     )
     return st_out, out
 

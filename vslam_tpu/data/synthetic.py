@@ -363,6 +363,50 @@ def write_tum_sequence(out_dir, seq: SyntheticSequence, write_cache=None, textur
             fc.save_spcf(os.path.join(out_dir, write_cache), cache)
 
 
+def make_image_sequence(
+    num_frames,
+    width=640,
+    height=480,
+    fx=525.0,
+    fy=525.0,
+    cx=319.5,
+    cy=239.5,
+    seed=0,
+    num_landmarks=6000,
+    radius=3.0,
+    dt=0.1,
+    with_rgb=True,
+    depth_scale=5000.0,
+):
+    """Rasterized PIXELS-IN sequence for the coupled pipeline: textured
+    room renders + analytic depth along a planar trajectory, in the TUM
+    storage formats (gray uint8, depth uint16 at 1/5000 m). Unlike
+    `make_sequence` (feature-level oracle), consumers must run a real
+    frontend on these images.
+
+    Returns a dict: timestamps (N,), R (N,3,3), t (N,3) ground truth;
+    gray (N,H,W) u8; depth_u16 (N,H,W) u16; rgb (N,H,W,3) u8 or None.
+    """
+    rng = np.random.default_rng(seed)
+    world = make_room_world(rng, num_landmarks=num_landmarks, desc_dim=8)
+    ts, R, t = make_trajectory(num_frames, dt=dt, radius=radius)
+    gray = np.zeros((num_frames, height, width), np.uint8)
+    depth = np.zeros((num_frames, height, width), np.uint16)
+    for i in range(num_frames):
+        img = render_textured(world, R[i], t[i], fx, fy, cx, cy, width, height)
+        gray[i] = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        d = render_depth_room(
+            R[i].astype(np.float64), t[i].astype(np.float64),
+            fx, fy, cx, cy, width, height,
+        )
+        depth[i] = np.clip(d * depth_scale, 0, 65535).astype(np.uint16)
+    rgb = np.repeat(gray[..., None], 3, -1) if with_rgb else None
+    return dict(
+        timestamps=ts, R=R, t=t, gray=gray, depth_u16=depth, rgb=rgb,
+        world=world,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic depth/image rendering (for dense-fusion and image-level paths)
 # ---------------------------------------------------------------------------
@@ -405,7 +449,12 @@ def render_depth_room(R, t, fx, fy, cx, cy, width, height, floor_y=1.5, wall_dis
 def render_textured(world, R, t, fx, fy, cx, cy, width, height, patch=7, seed=123):
     """Rasterize landmarks as UNIQUE random texture patches (so image-level
     descriptors are distinctive, unlike identical Gaussian spots) over a
-    gradient background -> (H, W) float32 grayscale in [0, 1]."""
+    gradient background -> (H, W) float32 grayscale in [0, 1].
+
+    Vectorized: all patches scatter through one flat assignment in
+    far-to-near order (later writes win), identical to drawing each patch
+    back-to-front. ~10 ms/frame, fast enough to rasterize whole
+    848-frame benchmark sequences on the host."""
     rng = np.random.default_rng(seed)  # fixed: patches persistent per landmark
     P = len(world.landmarks)
     patches = rng.uniform(0.25, 1.0, (P, patch, patch)).astype(np.float32)
@@ -420,13 +469,14 @@ def render_textured(world, R, t, fx, fy, cx, cy, width, height, patch=7, seed=12
     v = fy * pc[ids, 1] / z[ids] + cy
     r = patch // 2
     inb = (u >= r + 1) & (u < width - r - 1) & (v >= r + 1) & (v < height - r - 1)
+    ids, u, v = ids[inb], u[inb], v[inb]
     order = np.argsort(-z[ids])  # far first: near landmarks overwrite
-    for k in order:
-        if not inb[k]:
-            continue
-        x0 = int(round(u[k])) - r
-        y0 = int(round(v[k])) - r
-        img[y0 : y0 + patch, x0 : x0 + patch] = patches[ids[k]]
+    ids, u, v = ids[order], u[order], v[order]
+    x0 = np.round(u).astype(np.int64) - r  # (N,)
+    y0 = np.round(v).astype(np.int64) - r
+    dy, dx = np.mgrid[0:patch, 0:patch]
+    flat = (y0[:, None, None] + dy) * width + (x0[:, None, None] + dx)  # (N, p, p)
+    img.reshape(-1)[flat.reshape(-1)] = patches[ids].reshape(-1)
     return np.clip(img, 0.0, 1.0)
 
 

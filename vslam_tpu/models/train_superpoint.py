@@ -67,6 +67,64 @@ def synthetic_shapes_batch(rng, batch, height=120, width=160, max_corners=48):
     return imgs[..., None].astype(np.float32), corners, cmask
 
 
+def _yaw_pitch_R(yaw, pitch):
+    cy_, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp_ = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]], np.float32)
+    Rx = np.array([[1, 0, 0], [0, cp, -sp_], [0, sp_, cp]], np.float32)
+    return Ry @ Rx
+
+
+def textured_batch(rng, batch, height=120, width=160, max_corners=160,
+                   num_landmarks=300, fx=None, fy=None):
+    """Textured room renders with exact keypoint labels.
+
+    Scenes come from the same generator the pixels-in E2E tests rasterize
+    (`data.synthetic.make_room_world` + `render_textured`): landmarks on
+    room surfaces drawn as unique random texture patches. Labels are the
+    landmark projections (patch centers) — supervised interest points with
+    exact coordinates, the synthetic-data leg of the MagicLeap recipe.
+    Each image uses a fresh world + fresh patch textures, so descriptors
+    must encode local appearance rather than memorize patches.
+
+    Returns (images (B, H, W, 1) f32, corners (B, C, 2), cmask (B, C)).
+    """
+    from vslam_tpu.data import synthetic
+
+    fx = fx or 0.75 * width
+    fy = fy or 0.75 * width
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    imgs = np.zeros((batch, height, width), np.float32)
+    corners = np.zeros((batch, max_corners, 2), np.float32)
+    cmask = np.zeros((batch, max_corners), bool)
+    for b in range(batch):
+        world = synthetic.make_room_world(
+            rng, num_landmarks=num_landmarks, desc_dim=8
+        )
+        R = _yaw_pitch_R(rng.uniform(-np.pi, np.pi), rng.uniform(-0.2, 0.2))
+        t = np.array(
+            [rng.uniform(-2.5, 2.5), rng.uniform(-0.3, 0.9), rng.uniform(-2.5, 2.5)],
+            np.float32,
+        )
+        imgs[b] = synthetic.render_textured(
+            world, R, t, fx, fy, cx, cy, width, height,
+            seed=int(rng.integers(1 << 31)),
+        ) + rng.normal(0, 0.01, (height, width))
+        # Labels: visible in-bounds projections (patch centers);
+        # camera-frame coords are R^T (X - t), i.e. (X - t) @ R row-wise.
+        pc = (world.landmarks - t) @ R
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = fx * pc[:, 0] / z + cx
+            v = fy * pc[:, 1] / z + cy
+        vis = (z > 0.5) & (u >= 4) & (u < width - 4) & (v >= 4) & (v < height - 4)
+        ids = np.nonzero(vis)[0][:max_corners]
+        corners[b, : len(ids), 0] = u[ids]
+        corners[b, : len(ids), 1] = v[ids]
+        cmask[b, : len(ids)] = True
+    return imgs[..., None].astype(np.float32), corners, cmask
+
+
 def corners_to_cell_labels(corners, cmask, height, width):
     """Corner coords -> per-cell 65-way labels (64 positions + dustbin).
 
@@ -183,6 +241,18 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def warp_corners(corners, cmask, H, height, width):
+    """Forward-warp corner pixels by homographies; drop out-of-bounds.
+
+    corners (B, C, 2), H (B, 3, 3) -> (warped (B, C, 2), mask (B, C))."""
+    hom = jnp.concatenate([corners, jnp.ones_like(corners[..., :1])], -1)
+    w = jnp.einsum("bij,bcj->bci", H, hom)
+    wx = w[..., 0] / jnp.maximum(w[..., 2], 1e-8)
+    wy = w[..., 1] / jnp.maximum(w[..., 2], 1e-8)
+    inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
+    return jnp.stack([wx, wy], -1), cmask & inb
+
+
 def make_trainer(height=120, width=160, lr=1e-3, desc_weight=0.1):
     model = sp.SuperPoint()
     tx = optax.adam(lr)
@@ -191,17 +261,21 @@ def make_trainer(height=120, width=160, lr=1e-3, desc_weight=0.1):
         params = model.init(key, jnp.zeros((1, height, width, 1), jnp.float32))
         return TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
 
-    @jax.jit
-    def train_step(state: TrainState, images, labels, key):
+    def train_step_inner(state: TrainState, images, corners, cmask, key):
+        """One step on a (B, H, W, 1) batch with exact corner labels:
+        detector CE on BOTH views (original + homography-warped, warped
+        labels come from warping the corners) + descriptor hinge loss over
+        the cell correspondence grid."""
+        labels_a = corners_to_cell_labels(corners, cmask, height, width)
         H = random_homographies(key, images.shape[0], height, width)
-        warped, inb = warp_images(images, H)
-        # warped labels: recompute via warped corner grid is host-side; for
-        # the descriptor term only the homography itself is needed.
+        warped, _ = warp_images(images, H)
+        wc, wmask = warp_corners(corners, cmask, H, height, width)
+        labels_b = corners_to_cell_labels(wc, wmask, height, width)
 
         def loss_fn(params):
             semi_a, desc_a = model.apply(params, images)
             semi_b, desc_b = model.apply(params, warped)
-            l_det = detector_loss(semi_a, labels)
+            l_det = detector_loss(semi_a, labels_a) + detector_loss(semi_b, labels_b)
             l_desc = descriptor_loss(desc_a, desc_b, H)
             return l_det + desc_weight * l_desc, (l_det, l_desc)
 
@@ -215,22 +289,165 @@ def make_trainer(height=120, width=160, lr=1e-3, desc_weight=0.1):
             {"loss": loss, "det": l_det, "desc": l_desc},
         )
 
-    return init, train_step
+    train_step = jax.jit(train_step_inner)
+
+    def make_epoch(steps: int, batch: int):
+        """Scan `steps` training steps in ONE device program, sampling
+        batches from a staged dataset — on the axon relay each separate
+        dispatch costs ~50 ms, so per-step host loops would be dominated
+        by round trips (CLAUDE.md)."""
+
+        @jax.jit
+        def epoch(state, images, corners, cmask, base_key):
+            N = images.shape[0]
+
+            def body(st, i):
+                k = jax.random.fold_in(base_key, i)
+                k1, k2 = jax.random.split(k)
+                idx = jax.random.randint(k1, (batch,), 0, N)
+                st2, metrics = train_step_inner(
+                    st, images[idx], corners[idx], cmask[idx], k2
+                )
+                return st2, jnp.stack(
+                    [metrics["loss"], metrics["det"], metrics["desc"]]
+                )
+
+            state, ms = jax.lax.scan(body, state, jnp.arange(steps))
+            return state, ms
+
+        return epoch
+
+    return init, train_step, make_epoch
 
 
 def train_synthetic(steps=50, batch=8, height=120, width=160, seed=0, log_every=10):
-    """Short self-supervised pretraining run on synthetic shapes."""
+    """Short supervised pretraining run on synthetic shapes (corners)."""
     rng = np.random.default_rng(seed)
-    init, step_fn = make_trainer(height, width)
+    init, step_fn, _ = make_trainer(height, width)
     state = init(jax.random.PRNGKey(seed))
     history = []
     for i in range(steps):
         imgs, corners, cmask = synthetic_shapes_batch(rng, batch, height, width)
-        labels = corners_to_cell_labels(jnp.asarray(corners), jnp.asarray(cmask),
-                                        height, width)
         key = jax.random.fold_in(jax.random.PRNGKey(seed + 1), i)
-        state, metrics = step_fn(state, jnp.asarray(imgs), labels, key)
+        state, metrics = step_fn(
+            state, jnp.asarray(imgs), jnp.asarray(corners), jnp.asarray(cmask), key
+        )
         history.append({k: float(v) for k, v in metrics.items()})
         if log_every and i % log_every == 0:
             print(f"step {i}: {history[-1]}")
+    return state, history
+
+
+def evaluate_detector(params, seed=123, n_pairs=8, height=120, width=160,
+                      max_keypoints=100, conf=0.015, ratio=0.85):
+    """Held-out self-eval of trained SuperPoint weights: detector
+    repeatability + descriptor match precision between homography-related
+    views of FRESH textured renders (worlds never seen in training).
+
+    repeatability: fraction of view-A keypoints whose warp lands within
+    3 px of a detected view-B keypoint. match_precision: ratio-test
+    matches that are geometrically correct under the homography (< 4 px).
+    """
+    from vslam_tpu.models import superpoint as sp_mod
+    from vslam_tpu.ops import matching, nms
+
+    rng = np.random.default_rng(seed)
+    imgs, _, _ = textured_batch(rng, n_pairs, height, width)
+    imgs = jnp.asarray(imgs)
+    H = random_homographies(jax.random.PRNGKey(seed), n_pairs, height, width)
+    warped, _ = warp_images(imgs, H)
+
+    model = sp_mod.SuperPoint()
+
+    @jax.jit
+    def extract(images):
+        semi, desc_c = model.apply(params, images)
+        kps, desc = nms.extract_keypoints(
+            semi, desc_c, max_keypoints=max_keypoints, radius=4, conf=conf
+        )
+        return kps.xy, kps.score, kps.valid, desc
+
+    xy_a, _, va, da = extract(imgs)
+    xy_b, _, vb, db = extract(warped)
+
+    hom = jnp.concatenate([xy_a, jnp.ones_like(xy_a[..., :1])], -1)
+    w = jnp.einsum("bij,bkj->bki", H, hom)
+    wx = w[..., 0] / jnp.maximum(w[..., 2], 1e-8)
+    wy = w[..., 1] / jnp.maximum(w[..., 2], 1e-8)
+    inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height) & va
+    d2 = (wx[:, :, None] - xy_b[:, None, :, 0]) ** 2 + (
+        wy[:, :, None] - xy_b[:, None, :, 1]
+    ) ** 2
+    d2 = jnp.where(vb[:, None, :], d2, 1e9)
+    nearest = jnp.sqrt(jnp.min(d2, axis=-1))
+    rep = float(jnp.sum((nearest < 3.0) & inb) / jnp.maximum(jnp.sum(inb), 1))
+
+    n_correct = n_matched = 0
+    for b in range(n_pairs):
+        m = matching.knn2_ratio_match(da[b], db[b], va[b], vb[b], ratio=ratio)
+        mv = np.asarray(m.valid)
+        j = np.asarray(m.idx)
+        err = np.sqrt(
+            (np.asarray(wx[b]) - np.asarray(xy_b[b])[j, 0]) ** 2
+            + (np.asarray(wy[b]) - np.asarray(xy_b[b])[j, 1]) ** 2
+        )
+        ok = mv & np.asarray(inb[b])
+        n_matched += int(ok.sum())
+        n_correct += int((ok & (err < 4.0)).sum())
+    return {
+        "repeatability": rep,
+        "match_precision": n_correct / max(n_matched, 1),
+        "matches_per_pair": n_matched / n_pairs,
+        "kps_per_image": float(np.asarray(va).sum(-1).mean()),
+    }
+
+
+def train_textured(
+    steps=2000,
+    batch=16,
+    height=120,
+    width=160,
+    num_images=384,
+    seed=0,
+    lr=1e-3,
+    desc_weight=0.2,
+    steps_per_scan=50,
+    mix_shapes=0.25,
+    log=print,
+):
+    """The full training recipe behind the committed checkpoint
+    (`models/checkpoints/superpoint_synth.npz`): supervised interest
+    points on textured room renders (the E2E test distribution) mixed
+    with classic synthetic-shapes corners, homographic descriptor pairs,
+    scanned-step epochs on device. Deterministic for a fixed seed.
+
+    Returns (TrainState, history: list of (loss, det, desc) rows)."""
+    rng = np.random.default_rng(seed)
+    init, _, make_epoch = make_trainer(height, width, lr=lr, desc_weight=desc_weight)
+    state = init(jax.random.PRNGKey(seed))
+
+    n_shapes = int(num_images * mix_shapes)
+    n_tex = num_images - n_shapes
+    imgs_t, c_t, m_t = textured_batch(rng, n_tex, height, width)
+    C = c_t.shape[1]
+    imgs_s, c_s, m_s = synthetic_shapes_batch(
+        rng, n_shapes, height, width, max_corners=C
+    )
+    images = jnp.asarray(np.concatenate([imgs_t, imgs_s]))
+    corners = jnp.asarray(np.concatenate([c_t, c_s]))
+    cmask = jnp.asarray(np.concatenate([m_t, m_s]))
+
+    epoch = make_epoch(steps_per_scan, batch)
+    history = []
+    n_scans = max(steps // steps_per_scan, 1)
+    for e in range(n_scans):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed + 13), e)
+        state, ms = epoch(state, images, corners, cmask, key)
+        ms = np.asarray(ms)
+        history.extend(ms.tolist())
+        if log:
+            log(
+                f"scan {e + 1}/{n_scans} (step {(e + 1) * steps_per_scan}): "
+                f"loss {ms[-1][0]:.4f} det {ms[-1][1]:.4f} desc {ms[-1][2]:.4f}"
+            )
     return state, history

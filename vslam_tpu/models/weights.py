@@ -169,19 +169,56 @@ def find_checkpoint(search_dirs, names):
     return None
 
 
+# In-repo trained checkpoint (produced by scripts/train_superpoint.py on
+# synthetic textured scenes; see models/train_superpoint.py).
+TRAINED_SP_DIR = os.path.join(os.path.dirname(__file__), "checkpoints")
+
+
+def save_superpoint_npz(path, params, dtype=np.float16):
+    """Save SuperPoint Flax params as a flat npz (`layer/kernel` keys).
+
+    float16 halves the artifact size; SuperPoint conv weights round-trip
+    through f16 with <1e-3 relative error — irrelevant next to bf16
+    inference compute."""
+    flat = {}
+    for layer, leaves in params["params"].items():
+        for k, v in leaves.items():
+            flat[f"{layer}/{k}"] = np.asarray(v).astype(dtype)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def superpoint_params_from_npz(path):
+    """Load params saved by `save_superpoint_npz` (f32 tree)."""
+    with np.load(path) as z:
+        params = {}
+        for key in z.files:
+            layer, leaf = key.split("/")
+            params.setdefault(layer, {})[leaf] = jnp.asarray(
+                z[key].astype(np.float32)
+            )
+    return {"params": params}
+
+
 def load_or_init_superpoint(
     key: Optional[jax.Array] = None,
     search_dirs=("models", "/root/models", "weights"),
     height=480,
     width=640,
 ):
-    """Load converted SuperPoint weights if a checkpoint exists, else
-    deterministic random init. Returns (params, source_str)."""
+    """Load SuperPoint weights, preferring (1) a real converted `.pth`
+    checkpoint, (2) the repo's own synthetically-trained npz, then
+    (3) deterministic random init. Returns (params, source_str)."""
     from vslam_tpu.models import superpoint as sp
 
     ckpt = find_checkpoint(search_dirs, ("superpoint_v1.pth", "superpoint.pth"))
     if ckpt is not None:
         return superpoint_params_from_pth(ckpt), ckpt
+    npz = find_checkpoint(
+        tuple(search_dirs) + (TRAINED_SP_DIR,), ("superpoint_synth.npz",)
+    )
+    if npz is not None:
+        return superpoint_params_from_npz(npz), npz
     if key is None:
         key = jax.random.PRNGKey(0)
     return sp.init_params(key, height=height, width=width), "random-init"

@@ -247,6 +247,52 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
     return R, t, X, cost
 
 
+def window_cost(prob: BAProblem, R, t, X, huber_px: float = 5.0):
+    """Huber reprojection chi^2 of (R, t, X) over the problem's FULL
+    observation set (pose/point/obs validity; behind-camera points keep
+    their z-clamped residual). Evaluating candidate solutions on the same
+    fixed set makes whole-pass accept/reject comparisons fair — the
+    gain-gate metric for the backend (`Optimizer.cpp:568-599` applies the
+    same discipline per LM iteration)."""
+    mask = (
+        prob.obs_valid & prob.pose_valid[:, None] & prob.point_valid[None, :]
+    ).astype(R.dtype)
+    r, _, _ = _project_residuals(R, t, X, prob._replace(R=R, t=t, X=X))
+    w = _huber_weights(r, mask, huber_px)
+    return _cost(r, w)
+
+
+def ba_accept_window(prob: BAProblem, R_opt, t_opt, X_opt,
+                     huber_px: float = 5.0, min_cost_per_obs: float = 4.0):
+    """Whole-window gain gate for a BA solution. Three conditions:
+
+    1. SIGNIFICANCE: the initial Huber reprojection cost must exceed
+       `min_cost_per_obs` px^2 per observation. Below ~2 px RMS the
+       window is already at the pixel-noise floor and "optimizing" it
+       only transfers map-point noise into the keyframe poses — the
+       regression mode that made the reference ship local BA disabled
+       (`include/Config.h:98-99`).
+    2. JOINT improvement: cost(R', t', X') < cost(R, t, X) on the full
+       fixed observation set (divergence guard).
+    3. POSE improvement vs ORIGINAL points: cost(R', t', X) < cost(R, t,
+       X). A solution that only looks better because the points moved to
+       chase the poses (overfit) fails this; a genuine pose correction
+       reduces residuals against the unmoved (noisy but unbiased) map.
+
+    Returns a scalar bool."""
+    c0 = window_cost(prob, prob.R, prob.t, prob.X, huber_px=huber_px)
+    c_joint = window_cost(prob, R_opt, t_opt, X_opt, huber_px=huber_px)
+    c_pose = window_cost(prob, R_opt, t_opt, prob.X, huber_px=huber_px)
+    n_obs = jnp.maximum(
+        jnp.sum(
+            prob.obs_valid & prob.pose_valid[:, None] & prob.point_valid[None, :]
+        ),
+        1,
+    )
+    significant = c0 > min_cost_per_obs * n_obs
+    return significant & (c_joint < c0 * (1.0 - 1e-5)) & (c_pose < c0)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations", "fix_first_n"))
 def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
                          gate_px: float = 15.0, fix_first_n: int = 1):

@@ -47,13 +47,20 @@ def _hartley_normalize(uv, w, eps=1e-9):
     return uv_n, T
 
 
-def eight_point(uv1, uv2, weights=None, essential=False):
+def eight_point(uv1, uv2, weights=None, essential=False, nullvec_iters=3):
     """Weighted normalized 8-point algorithm.
 
     Args:
       uv1, uv2: (..., N, 2) correspondences (N >= 8).
       weights: (..., N) soft/hard inlier weights; zero rows are dropped.
       essential: if True enforce singular values (1, 1, 0), else rank-2.
+      nullvec_iters: shift-and-invert iterations for the null vector.
+        3 suffices for minimal samples (exact 1-D nullspace); the
+        over-determined all-inlier refits pass a higher count because
+        noisy/near-degenerate geometry shrinks the spectral gap between
+        the two smallest eigenvalues (each extra iteration damps the
+        mixed-in second eigenvector by the eigenvalue ratio, and the
+        refit runs once per RANSAC call, not per hypothesis).
 
     Returns:
       F (or E): (..., 3, 3), scaled so ||F||_F = 1.
@@ -76,7 +83,7 @@ def eight_point(uv1, uv2, weights=None, essential=False):
     # iteration converges in ~2 steps where cyclic Jacobi on the 9x9
     # needs 72 sequential rotation rounds (see ops.linalg).
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    f = linalg.smallest_eigvec_psd(AtA)
+    f = linalg.smallest_eigvec_psd(AtA, iters=nullvec_iters)
     F = f.reshape(*f.shape[:-1], 3, 3)
 
     # Enforce rank-2 in the normalized frame (rank survives the

@@ -430,32 +430,7 @@ def cholesky_solve_small(H, g, eps=1e-20):
     pose refine that runs every frame, the unrolled form is the cheap one.
     N is static (from the shape); ~N^3/3 scalar ops total.
     """
-    N = H.shape[-1]
-    L = [[None] * N for _ in range(N)]
-    for j in range(N):
-        s = H[..., j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(jnp.maximum(s, eps))
-        L[j][j] = d
-        for i in range(j + 1, N):
-            s = H[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s / d
-    y = [None] * N
-    for i in range(N):
-        s = g[..., i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
-    x = [None] * N
-    for i in reversed(range(N)):
-        s = y[i]
-        for k in range(i + 1, N):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
-    return jnp.stack(x, axis=-1)
+    return _cholesky_solve_factored(_cholesky_factor_small(H, eps), g)
 
 
 @f32_matmuls

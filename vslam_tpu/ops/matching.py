@@ -20,6 +20,30 @@ import jax.numpy as jnp
 _BIG = 1e9
 
 
+def _on_tpu(*arrays) -> bool:
+    """Pallas-vs-XLA dispatch gate for the fused matchers.
+
+    Prefers the committed device of a concrete array argument (so explicit
+    `jax.device_put(..., cpu)` placement traces the XLA fallback even when
+    the process default backend is TPU). Inside a `jit` trace the inputs
+    are tracers with no device, so the gate falls back to the process
+    default backend — the device an un-annotated jit compiles for. A jit
+    explicitly lowered for a non-default device with TPU-default backend
+    is NOT detected; pass concrete arrays or pin the default backend.
+    """
+    for a in arrays:
+        devs = getattr(a, "devices", None)
+        if callable(devs):
+            try:
+                return any(d.platform in ("tpu", "axon") for d in a.devices())
+            except Exception:
+                continue
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def l2_distance_matrix(desc1, desc2, valid1=None, valid2=None):
     """(N, D) x (M, D) -> (N, M) L2 distances; invalid rows/cols -> +BIG.
 
@@ -99,9 +123,7 @@ def knn2_ratio_match_streaming(desc_q, desc_db, valid_q, valid_db, ratio=0.75):
     1.08x at M=16,384 (the default map capacity) and 1.69x at M=131,072.
     Off-TPU it falls back to the XLA path.
     """
-    import jax as _jax
-
-    if desc_db.shape[0] >= 4096 and _jax.devices()[0].platform in ("tpu", "axon"):
+    if desc_db.shape[0] >= 4096 and _on_tpu(desc_q, desc_db):
         from vslam_tpu.ops import pallas_matching as pm
 
         idx, ok, d1 = pm.knn2_ratio_match_pallas(
@@ -129,9 +151,7 @@ def radius_descriptor_match_fused(
     nearest VALID keypoint (the reference's geometric found counter,
     `src/Slam.cpp:1099-1104`).
     """
-    import jax as _jax
-
-    if desc_db.shape[0] >= 4096 and _jax.devices()[0].platform in ("tpu", "axon"):
+    if desc_db.shape[0] >= 4096 and _on_tpu(desc_q, desc_db):
         from vslam_tpu.ops import pallas_matching as pm
 
         return pm.radius_match_pallas(

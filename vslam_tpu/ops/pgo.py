@@ -98,6 +98,32 @@ def _height_residual(xi, t, gravity, height, sqinfo):
     return (t2 @ gravity - height) * sqinfo
 
 
+def total_chi2(prob: PGOProblem, R, t):
+    """Total weighted constraint chi^2 (odometry + loop edges + height
+    prior) of pose estimate (R, t) under the problem's measurements — the
+    gain-gate metric for accepting a PGO pass (the reference's LM has the
+    same accept/reject discipline per iteration, `Optimizer.cpp:568-599`;
+    we additionally gate the WHOLE pass so the backend can never leave the
+    trajectory worse than it found it)."""
+    dtype = R.dtype
+    e_sqinfo = jnp.sqrt(prob.e_info) * prob.e_valid[:, None]
+    h_sqinfo = (
+        jnp.sqrt(prob.height_info) * prob.height_on * prob.v_valid.astype(dtype)
+    )
+    V = R.shape[0]
+    xi0e = jnp.zeros((prob.e_i.shape[0], 6), dtype)
+    r_e = jax.vmap(_edge_residual)(
+        xi0e, xi0e, R[prob.e_i], t[prob.e_i], R[prob.e_j], t[prob.e_j],
+        prob.e_R, prob.e_t, e_sqinfo,
+    )
+    xi0v = jnp.zeros((V, 6), dtype)
+    r_h = jax.vmap(_height_residual)(
+        xi0v, t, jnp.broadcast_to(prob.gravity, (V, 3)),
+        jnp.broadcast_to(prob.height, (V,)), h_sqinfo,
+    )
+    return jnp.sum(r_e * r_e) + jnp.sum(r_h * r_h)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize(prob: PGOProblem, iterations: int = 20, damping: float = 1e-6):
     """Damped Gauss-Newton over all vertices; vertex 0 fixed

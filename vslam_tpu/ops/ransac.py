@@ -127,7 +127,7 @@ def ransac_fundamental(
     counts = jnp.sum(inl, axis=-1)
     best = jnp.argmax(counts)
     w = inl[best].astype(uv1.dtype)
-    F = epi.eight_point(uv1, uv2, weights=w)
+    F = epi.eight_point(uv1, uv2, weights=w, nullvec_iters=10)
     d_f = epi.sampson_distance(F, uv1, uv2)
     final_inl = (d_f < threshold_px) & valid
     n_inl = jnp.sum(final_inl)
@@ -167,7 +167,7 @@ def ransac_essential(
     best = jnp.argmax(counts)
 
     w = inl[best].astype(uv1.dtype)
-    E = epi.eight_point(xn1, xn2, weights=w, essential=True)
+    E = epi.eight_point(xn1, xn2, weights=w, essential=True, nullvec_iters=10)
     F_px = _E_to_pixel_F(E, fx, fy, cx, cy)
     d_f = epi.sampson_distance(F_px, uv1, uv2)
     final_inl = (d_f < threshold_px) & valid

@@ -105,7 +105,7 @@ def step_metrics_log(outputs, path=None) -> List[dict]:
 
 def summarize_run(outputs) -> dict:
     o = outputs
-    return {
+    out = {
         "frames": int(np.asarray(o.num_matches).shape[0]),
         "mean_matches": float(np.asarray(o.num_matches).mean()),
         "mean_inliers": float(np.asarray(o.num_inliers).mean()),
@@ -114,3 +114,16 @@ def summarize_run(outputs) -> dict:
         "tracked_frac": float(np.asarray(o.tracking_ok).mean()),
         "used_3d3d_frac": float(np.asarray(o.used_3d3d).mean()),
     }
+    # Branch-execution counts + epipolar diagnostics (fields added round 3;
+    # getattr so pre-existing FakeOuts-style stubs keep working).
+    for name, red in (
+        ("bridged", "sum"), ("recovered", "sum"),
+        ("epi_before", "mean"), ("epi_after", "mean"),
+    ):
+        v = getattr(o, name, None)
+        if v is not None:
+            arr = np.asarray(v)
+            out[name + ("_count" if red == "sum" else "_mean_px")] = (
+                int(arr.sum()) if red == "sum" else float(arr.mean())
+            )
+    return out

@@ -167,17 +167,43 @@ class Viewer:
 
 def hud_text(outputs, i):
     """Per-frame HUD lines from StepOutputs diagnostics
-    (`src/main.cpp:1220-1260`)."""
+    (`src/main.cpp:1220-1260`): counters, epipolar error before/after the
+    fundamental gate, backend label, and event badges."""
     o = outputs
-    return [
+    lines = [
         f"frame {i}",
         f"matches  {int(np.asarray(o.num_matches)[i])}",
         f"inliers  {int(np.asarray(o.num_inliers)[i])}",
         f"tracked  {int(np.asarray(o.num_tracked)[i])}",
+        f"epi err  {float(np.asarray(o.epi_before)[i]):.2f} -> "
+        f"{float(np.asarray(o.epi_after)[i]):.2f} px",
         f"backend  {'3D-3D' if bool(np.asarray(o.used_3d3d)[i]) else 'E-matrix'}",
         f"keyframe {'YES' if bool(np.asarray(o.is_keyframe)[i]) else 'no'}",
         f"tracking {'OK' if bool(np.asarray(o.tracking_ok)[i]) else 'LOST'}",
     ]
+    if bool(np.asarray(o.bridged)[i]):
+        lines.append("BRIDGE KF")
+    if bool(np.asarray(o.recovered)[i]):
+        lines.append("PNP RECOVERY")
+    return lines
+
+
+def loop_edges_from_state(st):
+    """Loop-closure edge segments (world positions of the two keyframe
+    endpoints) from the tracked state's constraint ring — the reference
+    implements `draw_loop_edges` (`src/Viewer.cpp:76-130`) but never calls
+    it; here the edges render whenever constraints exist."""
+    kf_t = np.asarray(st.keyframes.t)
+    kf_valid = np.asarray(st.keyframes.valid)
+    edges = []
+    for a, b, v in zip(
+        np.asarray(st.loops.kf_from), np.asarray(st.loops.kf_to),
+        np.asarray(st.loops.valid),
+    ):
+        if v and 0 <= a < len(kf_t) and 0 <= b < len(kf_t):
+            if kf_valid[a] and kf_valid[b]:
+                edges.append((kf_t[a], kf_t[b]))
+    return edges
 
 
 def render_run(result, out_dir, every=10, seq=None, dense=None, config=None):
@@ -190,6 +216,7 @@ def render_run(result, out_dir, every=10, seq=None, dense=None, config=None):
     kf_R = np.asarray(st.keyframes.R)[kf_valid]
     kf_t = np.asarray(st.keyframes.t)[kf_valid]
     sparse = np.asarray(st.map.pos)[np.asarray(st.map.valid)]
+    loop_edges = loop_edges_from_state(st) or None
     paths = []
     N = result.t.shape[0]
     for i in range(0, N, every):
@@ -204,6 +231,7 @@ def render_run(result, out_dir, every=10, seq=None, dense=None, config=None):
             dense_xyz=None if dense is None else dense[0],
             dense_rgb=None if dense is None else dense[1],
             gt_trajectory=None if seq is None else seq.t[: i + 1],
+            loop_edges=loop_edges,
             hud_lines=hud_text(result.outputs, i),
             out_path=p,
         )
