@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--images", type=int, default=384)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--desc-weight", type=float, default=0.2)
+    ap.add_argument("--desc-weight", type=float, default=1.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--eval-only", action="store_true")

@@ -251,7 +251,8 @@ def test_map_saturation_tracking_survives():
     )
     result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
     n_map = int(np.asarray(result.final_state.map.valid).sum())
-    assert n_map == 160, n_map  # saturated
+    # Saturated (eviction keeps it full up to the per-KF cull's churn).
+    assert n_map >= 140, n_map
     ok = np.asarray(result.outputs.tracking_ok)
     assert ok[1:].mean() > 0.8, ok
     assert ate_res.rmse < 0.10, ate_res

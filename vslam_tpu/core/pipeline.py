@@ -70,20 +70,24 @@ def compute_gravity_direction(accel, R0):
 
 def detect_stationary(accel, timestamps, window=0.1, threshold=0.15):
     """Per-frame stationarity from accel-magnitude std in a ±window
-    (`src/Slam.cpp:1621-1651`). Host-side precompute (the reference does a
-    binary search per frame; we vectorize)."""
+    (`src/Slam.cpp:1621-1651`). Host-side precompute, fully vectorized:
+    windowed mean/variance come from prefix sums between per-frame
+    searchsorted bounds — O(N + F) instead of a Python loop per frame."""
     if accel is None or len(accel) == 0:
         return np.zeros(len(timestamps), dtype=bool)
     a = np.asarray(accel)
     mags = np.linalg.norm(a[:, 1:4], axis=-1)
     ts = a[:, 0]
-    out = np.zeros(len(timestamps), dtype=bool)
-    for i, t in enumerate(np.asarray(timestamps)):
-        lo = np.searchsorted(ts, t - window)
-        hi = np.searchsorted(ts, t + window)
-        if hi - lo >= 5:
-            out[i] = float(np.std(mags[lo:hi])) < threshold
-    return out
+    t = np.asarray(timestamps)
+    lo = np.searchsorted(ts, t - window)
+    hi = np.searchsorted(ts, t + window)
+    n = (hi - lo).astype(np.int64)
+    c1 = np.concatenate([[0.0], np.cumsum(mags)])
+    c2 = np.concatenate([[0.0], np.cumsum(mags * mags)])
+    nn = np.maximum(n, 1)
+    mean = (c1[hi] - c1[lo]) / nn
+    var = np.maximum((c2[hi] - c2[lo]) / nn - mean * mean, 0.0)
+    return (n >= 5) & (np.sqrt(var) < threshold)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "seed"))

@@ -207,10 +207,13 @@ def detector_loss(semi, labels, valid=None):
     return -jnp.mean(ll)
 
 
-def descriptor_loss(desc_a, desc_b, H, margin_pos=1.0, margin_neg=0.2, lam=0.05):
+def descriptor_loss(desc_a, desc_b, H, margin_pos=1.0, margin_neg=0.2):
     """Hinge contrastive loss over cell-center correspondences
     (SuperPoint eq. 4): cells whose centers map within half a cell are
-    positives."""
+    positives. Positive and negative terms are normalized by their PAIR
+    COUNTS — positives are ~1/P of all pairs, so an unbalanced sum is
+    dominated by the push-apart term and collapses matching (the paper
+    uses a fixed lambda=250 positive weight for the same reason)."""
     B, Hc, Wc, D = desc_a.shape
     da = desc_a / jnp.maximum(jnp.linalg.norm(desc_a, axis=-1, keepdims=True), 1e-8)
     db = desc_b / jnp.maximum(jnp.linalg.norm(desc_b, axis=-1, keepdims=True), 1e-8)
@@ -229,10 +232,11 @@ def descriptor_loss(desc_a, desc_b, H, margin_pos=1.0, margin_neg=0.2, lam=0.05)
     )  # (B, P, P)
     s_corr = (d2 <= (CELL / 2.0) ** 2).astype(da.dtype)
     dots = jnp.einsum("bpd,bqd->bpq", da.reshape(B, -1, D), db.reshape(B, -1, D))
-    loss = lam * s_corr * jnp.maximum(0.0, margin_pos - dots) + (1 - s_corr) * jnp.maximum(
-        0.0, dots - margin_neg
-    )
-    return jnp.mean(loss)
+    pos = s_corr * jnp.maximum(0.0, margin_pos - dots)
+    neg = (1.0 - s_corr) * jnp.maximum(0.0, dots - margin_neg)
+    return jnp.sum(pos) / jnp.maximum(jnp.sum(s_corr), 1.0) + jnp.sum(
+        neg
+    ) / jnp.maximum(jnp.sum(1.0 - s_corr), 1.0)
 
 
 class TrainState(NamedTuple):
@@ -253,7 +257,7 @@ def warp_corners(corners, cmask, H, height, width):
     return jnp.stack([wx, wy], -1), cmask & inb
 
 
-def make_trainer(height=120, width=160, lr=1e-3, desc_weight=0.1):
+def make_trainer(height=120, width=160, lr=1e-3, desc_weight=1.0):
     model = sp.SuperPoint()
     tx = optax.adam(lr)
 
@@ -410,7 +414,7 @@ def train_textured(
     num_images=384,
     seed=0,
     lr=1e-3,
-    desc_weight=0.2,
+    desc_weight=1.0,
     steps_per_scan=50,
     mix_shapes=0.25,
     log=print,
@@ -423,6 +427,7 @@ def train_textured(
 
     Returns (TrainState, history: list of (loss, det, desc) rows)."""
     rng = np.random.default_rng(seed)
+    steps_per_scan = max(min(steps_per_scan, steps), 1)
     init, _, make_epoch = make_trainer(height, width, lr=lr, desc_weight=desc_weight)
     state = init(jax.random.PRNGKey(seed))
 
