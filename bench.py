@@ -95,6 +95,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from vslam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from vslam_tpu.config import SlamConfig, tiny_test_config
@@ -321,49 +324,68 @@ def main():
         # Measured multi-sequence coupled runs (B independent streams).
         from vslam_tpu.parallel import mesh as pmesh2
 
+        # Frame data is ~0.9 MB/frame (u8 gray + u16 depth); cap resident
+        # frames so large B fits HBM next to the maps/states. The cap is
+        # REPORTED per run (frames_per_seq) — no silent truncation.
+        frame_budget = 4 * nC
         for B in mlist:
             if B <= 1:
                 continue
-            grayB = jnp.asarray(
-                np.stack([s["gray"] for s in img_seqs[:B]], axis=1)
-                .reshape(S, CHUNK, B, H, W)
-            )
-            depB = jnp.asarray(
-                np.stack([s["depth_u16"] for s in img_seqs[:B]], axis=1)
-                .reshape(S, CHUNK, B, H, W)
-            )
-            tsB = jnp.asarray(
-                np.stack(
-                    [s["timestamps"].astype(np.float32) for s in img_seqs[:B]],
-                    axis=1,
-                ).reshape(S, CHUNK, B)
-            )
-            fidB = jnp.asarray(
-                np.broadcast_to(
-                    np.arange(nC, dtype=np.int32)[:, None], (nC, B)
-                ).reshape(S, CHUNK, B)
-            )
-            statB = jnp.zeros((S, CHUNK, B), bool)
-            stsB = pmesh2.replicate_state(cfg, B)
-            dnB = jax.tree.map(lambda x: jnp.stack([x] * B), dn_c0)
-
-            def run_multi():
-                _, _, outs = coupled_mod.run_coupled_batched(
-                    params_c, stsB, dnB, grayB, depB, tsB, fidB, statB, cfg,
+            n_m = min(nC, (frame_budget // B) // CHUNK * CHUNK)
+            S_m = n_m // CHUNK
+            try:
+                grayB = jnp.asarray(
+                    np.stack([s["gray"][:n_m] for s in img_seqs[:B]], axis=1)
+                    .reshape(S_m, CHUNK, B, H, W)
                 )
-                return outs
+                depB = jnp.asarray(
+                    np.stack(
+                        [s["depth_u16"][:n_m] for s in img_seqs[:B]], axis=1
+                    ).reshape(S_m, CHUNK, B, H, W)
+                )
+                tsB = jnp.asarray(
+                    np.stack(
+                        [
+                            s["timestamps"][:n_m].astype(np.float32)
+                            for s in img_seqs[:B]
+                        ],
+                        axis=1,
+                    ).reshape(S_m, CHUNK, B)
+                )
+                fidB = jnp.asarray(
+                    np.broadcast_to(
+                        np.arange(n_m, dtype=np.int32)[:, None], (n_m, B)
+                    ).reshape(S_m, CHUNK, B)
+                )
+                statB = jnp.zeros((S_m, CHUNK, B), bool)
+                stsB = pmesh2.replicate_state(cfg, B)
+                dnB = jax.tree.map(lambda x: jnp.stack([x] * B), dn_c0)
 
-            ts_m = _timed(
-                run_multi, lambda o: float(jnp.sum(o.t)),
-                iters=max(TIMED_ITERS - 2, 2),
-            )
-            dt_m = float(np.median(ts_m))
-            multi_measured[f"B{B}"] = {
-                "aggregate_fps": round(B * nC / dt_m, 2),
-                "per_seq_fps": round(nC / dt_m, 2),
-                "spread": round(_spread(ts_m), 4),
-            }
-            del grayB, depB, tsB, fidB, statB, stsB, dnB
+                def run_multi():
+                    _, _, outs = coupled_mod.run_coupled_batched(
+                        params_c, stsB, dnB, grayB, depB, tsB, fidB, statB,
+                        cfg,
+                    )
+                    return outs
+
+                ts_m = _timed(
+                    run_multi, lambda o: float(jnp.sum(o.t)),
+                    iters=max(TIMED_ITERS - 2, 2),
+                )
+                dt_m = float(np.median(ts_m))
+                multi_measured[f"B{B}"] = {
+                    "aggregate_fps": round(B * n_m / dt_m, 2),
+                    "per_seq_fps": round(n_m / dt_m, 2),
+                    "frames_per_seq": n_m,
+                    "spread": round(_spread(ts_m), 4),
+                }
+            except Exception as e:  # noqa: BLE001 — report, don't abort
+                multi_measured[f"B{B}"] = {
+                    "error": type(e).__name__ + ": " + str(e)[:160]
+                }
+            finally:
+                # Release device buffers before the next (bigger) B.
+                grayB = depB = tsB = fidB = statB = stsB = dnB = None  # noqa: F841
 
     # ---------------- Batched multi-sequence tracking ----------------
     multi_fps = None

@@ -49,6 +49,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from vslam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from vslam_tpu.models import train_superpoint as tsp
     from vslam_tpu.models import weights as w

@@ -8,18 +8,22 @@ multi-chip path through `__graft_entry__.dryrun_multichip`).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 # The environment's sitecustomize pre-imports jax and registers the TPU
-# backend before env vars are read, so force the platform via the config API.
+# backend before env vars are read, so BOTH the platform AND the
+# persistent compilation cache must be set via the config API (env vars
+# like JAX_COMPILATION_CACHE_DIR are read at jax import, which already
+# happened — setting them here is a silent no-op).
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from vslam_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
