@@ -203,6 +203,21 @@ def main():
             colors=np.asarray(dstate.cloud_rgb)[:n_dense],
         )
 
+    # ---- interactive viewer (Pangolin-window equivalent): one
+    # self-contained HTML with orbit/pan/zoom, follow/top/side modes,
+    # dense/sparse toggles, restart and a playback timeline
+    # (src/Viewer.cpp:60-66, 402-437; src/main.cpp:1220-1260) ----
+    from vslam_tpu.viz import web as webviz
+
+    webviz.export_run(
+        result, os.path.join(args.out, "viewer.html"),
+        dense=(np.asarray(dstate.cloud_xyz)[:n_dense],
+               np.asarray(dstate.cloud_rgb)[:n_dense]) if n_dense else None,
+        gt_trajectory=None if seq_meta.gt is None else seq_meta.gt[:, 1:4],
+        title=f"vslam_tpu — {os.path.basename(os.path.normpath(args.dataset))}",
+    )
+    print(f"[viewer] interactive viewer: {os.path.join(args.out, 'viewer.html')}")
+
     if args.poisson:
         _run_poisson(os.path.join(args.out, "dense_map.ply"), args.out)
 
