@@ -37,12 +37,18 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import sys
 import time
 
 import numpy as np
 
 TIMED_ITERS = 5
 WARMUP_ITERS = 2
+
+
+def _note(msg):
+    """Stage progress to stderr (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def _timed(fn, readback, iters=TIMED_ITERS, warmup=WARMUP_ITERS):
@@ -126,6 +132,7 @@ def main():
     c = cfg.camera
 
     # ---------------- Frontend: SuperPoint forward + decode ----------------
+    _note("frontend stage")
     sp_fps = float("inf")
     sp_sprd = 0.0
     if not args.no_frontend:
@@ -167,6 +174,7 @@ def main():
         sp_fps = n_chunks * sp_batch / dt_sp
 
     # ---------------- Tracking scan ----------------
+    _note("tracking stage")
     seq = synthetic.make_sequence(
         num_frames=n_frames,
         max_keypoints=cfg.frontend.max_keypoints,
@@ -193,6 +201,7 @@ def main():
     track_fps = n_frames / dt_track
 
     # ---------------- Dense voxel fusion (per-frame in the reference) ------
+    _note("dense fusion stage")
     dense_fps = float("inf")
     dense_sprd = 0.0
     if not args.no_dense:
@@ -288,6 +297,7 @@ def main():
             )
             return outs
 
+        _note("coupled e2e stage (compile on first run)")
         outs_c = run_coupled_once()  # warm + diagnostics
         ts_coupled = _timed(run_coupled_once, lambda o: float(jnp.sum(o.t)))
         dt_c = float(np.median(ts_coupled))
@@ -332,6 +342,7 @@ def main():
             if B <= 1:
                 continue
             n_m = min(nC, (frame_budget // B) // CHUNK * CHUNK)
+            _note(f"multi-coupled B={B}, {n_m} frames/seq")
             S_m = n_m // CHUNK
             try:
                 grayB = jnp.asarray(
@@ -388,6 +399,7 @@ def main():
                 grayB = depB = tsB = fidB = statB = stsB = dnB = None  # noqa: F841
 
     # ---------------- Batched multi-sequence tracking ----------------
+    _note("batched multi-sequence tracking")
     multi_fps = None
     multi_sprd = None
     if multi_b:
@@ -427,6 +439,7 @@ def main():
         multi_fps = B * n_frames / dt_multi
 
     # ---------------- ATE oracle + backend passes ----------------
+    _note("ATE oracle + backend")
     from vslam_tpu.eval import ate as ate_mod
 
     result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)

@@ -171,3 +171,83 @@ def test_loop_closure_fires_and_pgo_reduces_ate():
     assert ate_post.rmse <= ate_pre.rmse * 1.001 + 1e-6, (
         ate_pre.rmse, ate_post.rmse
     )
+
+
+def test_loop_cadence_at_production_interval():
+    """The REAL 200-keyframe check cadence (`Config.h:93`, checked at
+    `src/Slam.cpp:1084-1086`), with NO gate relaxed at all: a ~1060-frame
+    run whose 64-kp frames keep matches below the proactive-KF threshold,
+    so a keyframe lands every ~5 frames and the 200th keyframe arrives
+    just after the camera completes a full circle. The single cadence
+    firing must produce a loop constraint at exactly that keyframe's
+    frame, and no constraint may exist before it."""
+    cfg = SlamConfig(
+        camera=CameraConfig(width=160, height=120, fx=120.0, fy=120.0,
+                            cx=79.5, cy=59.5),
+        frontend=FrontendConfig(max_keypoints=64, descriptor_dim=64),
+        motion=MotionConfig(em_ransac_iters=32, fm_ransac_iters=32,
+                            r3d_iters=32),
+        pnp=PnPConfig(ransac_iters=32),
+        map=MapConfig(map_capacity=16384, keyframe_capacity=256),
+        opt=OptimizerConfig(max_loop_constraints=16),
+        loop=LoopClosureConfig(),  # production values, interval included
+    )
+    c = cfg.camera
+    n_frames = 1060
+    rng = np.random.default_rng(23)
+    world = synthetic.make_world(
+        rng, num_landmarks=2500, desc_dim=cfg.frontend.descriptor_dim
+    )
+    dt = 0.1
+    # Full circle completes at frame ~950; frames 950-1060 revisit the
+    # start-of-run views, so the 200th keyframe (~frame 1000) sees a
+    # genuine >=200-frame-old overlap when the check fires.
+    ts, R, t = synthetic.make_trajectory(
+        n_frames, dt=dt, radius=2.5,
+        angular_rate=2.0 * np.pi / (950 * dt),
+    )
+    obs = [
+        synthetic.observe(
+            world, R[i], t[i], c.fx, c.fy, c.cx, c.cy, c.width, c.height,
+            max_keypoints=cfg.frontend.max_keypoints, rng=rng,
+            pixel_noise=0.7, desc_noise=0.02, depth_noise=0.012,
+        )
+        for i in range(n_frames)
+    ]
+    seq = synthetic.SyntheticSequence(
+        timestamps=ts, R=R, t=t,
+        kp_xy=np.stack([o[0] for o in obs]),
+        kp_desc=np.stack([o[1] for o in obs]),
+        kp_depth=np.stack([o[2] for o in obs]),
+        kp_valid=np.stack([o[3] for o in obs]),
+        kp_landmark=np.stack([o[4] for o in obs]),
+        accel=None, world=world,
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
+    )
+    result, _ = pipeline.run_synthetic(seq, cfg, use_imu=False, smooth=False)
+    st = result.final_state
+    outs = result.outputs
+
+    assert float(np.asarray(outs.tracking_ok)[1:].mean()) > 0.8
+    n_kf = int(np.asarray(st.kf_count))
+    assert n_kf >= 200, f"cadence never reached: {n_kf} keyframes"
+    assert n_kf < 400, f"unexpected second cadence firing possible: {n_kf}"
+
+    # Frame at which the 200th keyframe was created.
+    kf_cum = np.cumsum(np.asarray(outs.is_keyframe).astype(int))
+    frame200 = int(np.argmax(kf_cum >= cfg.loop.check_interval_kfs))
+    assert kf_cum[frame200] == cfg.loop.check_interval_kfs
+
+    loops_v = np.asarray(st.loops.valid)
+    to_id = np.asarray(st.loops.to_id)
+    from_id = np.asarray(st.loops.from_id)
+    assert loops_v.sum() >= 1, (
+        "the single production-cadence check at the 200th keyframe "
+        f"(frame {frame200}) produced no constraint"
+    )
+    # The check fires ONLY at kf_count == 200 in this run: every valid
+    # constraint's revisit endpoint is that exact frame, none earlier.
+    assert (to_id[loops_v] == frame200).all(), (frame200, to_id[loops_v])
+    # And the matched old keyframe honors the production frame gap.
+    gaps = to_id[loops_v] - from_id[loops_v]
+    assert (gaps >= cfg.loop.min_frame_gap).all(), gaps
