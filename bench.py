@@ -172,6 +172,7 @@ def main():
         dt_sp = float(np.median(ts_sp))
         sp_sprd = _spread(ts_sp)
         sp_fps = n_chunks * sp_batch / dt_sp
+        del chunks  # free HBM before the next stage
 
     # ---------------- Tracking scan ----------------
     _note("tracking stage")
@@ -238,6 +239,7 @@ def main():
         dt_dense = float(np.median(ts_dense))
         dense_sprd = _spread(ts_dense)
         dense_fps = n_frames / dt_dense
+        del depth_frames, rgb_frames, Rs, t_path  # free HBM
 
     # ---------------- MEASURED coupled end-to-end ----------------
     # One program: uint8 frames -> SuperPoint -> decode -> kp depth ->
@@ -437,6 +439,7 @@ def main():
         dt_multi = float(np.median(ts))
         multi_sprd = _spread(ts)
         multi_fps = B * n_frames / dt_multi
+        del mframes, mstates  # free HBM
 
     # ---------------- ATE oracle + backend passes ----------------
     _note("ATE oracle + backend")

@@ -185,9 +185,15 @@ def test_loop_cadence_at_production_interval():
         camera=CameraConfig(width=160, height=120, fx=120.0, fy=120.0,
                             cx=79.5, cy=59.5),
         frontend=FrontendConfig(max_keypoints=64, descriptor_dim=64),
-        motion=MotionConfig(em_ransac_iters=32, fm_ransac_iters=32,
+        # The Essential VERIFY inside the loop check must run at full
+        # RANSAC strength (the reference's findEssentialMat confidence is
+        # 0.999, LoopCloser.cpp:70-87): at 32 hypotheses the >=30-inlier
+        # gate becomes key-luck-dependent (observed 28 vs 37 across
+        # seeds). fm/r3d stay reduced — they only shape the per-frame
+        # motion path, not the gates under test.
+        motion=MotionConfig(em_ransac_iters=256, fm_ransac_iters=32,
                             r3d_iters=32),
-        pnp=PnPConfig(ransac_iters=32),
+        pnp=PnPConfig(ransac_iters=64),
         map=MapConfig(map_capacity=16384, keyframe_capacity=256),
         opt=OptimizerConfig(max_loop_constraints=16),
         loop=LoopClosureConfig(),  # production values, interval included
@@ -210,7 +216,13 @@ def test_loop_cadence_at_production_interval():
         synthetic.observe(
             world, R[i], t[i], c.fx, c.fy, c.cx, c.cy, c.width, c.height,
             max_keypoints=cfg.frontend.max_keypoints, rng=rng,
-            pixel_noise=0.7, desc_noise=0.02, depth_noise=0.012,
+            # 0.45 px keypoint noise = the subpixel regime the reference's
+            # SuperPoint corners live in. At 0.7 px the production 1.0 px
+            # epipolar threshold rejects ~40% of TRUE matches and the
+            # >=30-inlier verify can't clear on 64-kp frames — the gate
+            # stays at production strength, the sensor must too. Odometry
+            # still drifts ~5 cm by the revisit (>> the 1 cm min-jump).
+            pixel_noise=0.45, desc_noise=0.02, depth_noise=0.012,
         )
         for i in range(n_frames)
     ]
