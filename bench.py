@@ -91,6 +91,11 @@ def main():
         "coupled runs (default '4,8'; '' = skip)",
     )
     ap.add_argument("--iters", type=int, default=0, help="timed iterations per stage")
+    ap.add_argument(
+        "--chunk", type=int, default=0,
+        help="frames per coupled-pipeline chunk (frontend conv batch; "
+        "0 = default 16, tiny 4)",
+    )
     args = ap.parse_args()
 
     global TIMED_ITERS
@@ -256,7 +261,7 @@ def main():
         from vslam_tpu.eval import ate as ate_mod2
         from vslam_tpu.models import weights as wmod
 
-        CHUNK = 4 if args.tiny else 16
+        CHUNK = args.chunk or (4 if args.tiny else 16)
         S = max(n_frames // CHUNK, 1)
         nC = S * CHUNK
         if args.multi_coupled is None:

@@ -158,3 +158,36 @@ def test_spcf_cache_replay_through_frontend_path(tmp_path):
         np.testing.assert_allclose(
             np.asarray(frames.depth[row, :n]), depths[row, v, u], atol=1e-6
         )
+
+
+def test_subpixel_refinement_recovers_true_peak():
+    """A Gaussian peak centered off-pixel: quadratic refinement must move
+    the integer argmax toward the true center (and never move a keypoint
+    more than half a pixel)."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.ops import nms
+
+    H, W = 64, 64
+    vs, us = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    err_int = []
+    err_sub = []
+    for cx_t, cy_t in [(20.3, 31.7), (40.6, 10.2), (8.1, 50.9)]:
+        heat = np.exp(
+            -((us - cx_t) ** 2 + (vs - cy_t) ** 2) / (2 * 1.2**2)
+        ).astype(np.float32)
+        hj = jnp.asarray(heat)[None]
+        kps = nms.topk_keypoints(nms.nms_local_max(hj, 4, 0.005), max_keypoints=4)
+        ref = nms.refine_subpixel(hj, kps)
+        xy_i = np.asarray(kps.xy[0, 0])
+        xy_s = np.asarray(ref.xy[0, 0])
+        assert np.all(np.abs(xy_s - xy_i) <= 0.5 + 1e-6)
+        err_int.append(np.linalg.norm(xy_i - [cx_t, cy_t]))
+        err_sub.append(np.linalg.norm(xy_s - [cx_t, cy_t]))
+    # Refinement cuts localization error decisively on average.
+    assert np.mean(err_sub) < 0.5 * np.mean(err_int), (err_int, err_sub)
+    # Invalid keypoints are untouched.
+    assert np.allclose(
+        np.asarray(ref.xy[0])[~np.asarray(kps.valid[0])],
+        np.asarray(kps.xy[0])[~np.asarray(kps.valid[0])],
+    )

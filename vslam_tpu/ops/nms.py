@@ -118,6 +118,49 @@ def topk_keypoints(nms_map, max_keypoints=400, tile=8, per_tile=4):
     return Keypoints(xy, scores, valid)
 
 
+def refine_subpixel(heatmap, kps: "Keypoints"):
+    """Quadratic subpixel peak refinement of integer keypoint positions.
+
+    The reference keeps integer corner coordinates
+    (`FeatureExtractor.cpp:238-258`) — a documented ENHANCEMENT here: fit
+    a 1-D parabola through the heatmap values at (p-1, p, p+1) per axis
+    and move each keypoint to the vertex (clamped to +-0.5 px). Subpixel
+    localization tightens every downstream geometric estimate (E/F/PnP
+    thresholds are 1-3 px) at the cost of five gathers.
+    """
+    B, H, W = heatmap.shape
+    flat = heatmap.reshape(B, H * W)
+    x0 = jnp.clip(kps.xy[..., 0].astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(kps.xy[..., 1].astype(jnp.int32), 0, H - 1)
+
+    def at(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take_along_axis(flat, yy * W + xx, axis=1)
+
+    c = at(y0, x0)
+    lx, rx = at(y0, x0 - 1), at(y0, x0 + 1)
+    uy, dy = at(y0 - 1, x0), at(y0 + 1, x0)
+
+    def vertex(lo, ct, hi):
+        denom = lo + hi - 2.0 * ct
+        off = jnp.where(jnp.abs(denom) > 1e-12, (lo - hi) / (2.0 * denom), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = vertex(lx, c, rx)
+    dyv = vertex(uy, c, dy)
+    xy = kps.xy + jnp.where(
+        kps.valid[..., None], jnp.stack([dx, dyv], axis=-1), 0.0
+    )
+    # Border peaks keep their integer position (a clamped one-sided
+    # neighborhood has no meaningful vertex).
+    interior = (
+        (x0 > 0) & (x0 < W - 1) & (y0 > 0) & (y0 < H - 1)
+    )[..., None]
+    xy = jnp.where(interior, xy, kps.xy)
+    return Keypoints(xy, kps.score, kps.valid)
+
+
 def sample_descriptors(desc_coarse, kp_xy, valid=None):
     """Bilinear descriptor sampling at kp/8 + L2 normalization
     (`FeatureExtractor.cpp:172-206`).
@@ -160,10 +203,17 @@ def sample_descriptors(desc_coarse, kp_xy, valid=None):
     return d
 
 
-def extract_keypoints(semi, desc_coarse, max_keypoints=400, radius=4, conf=0.005):
-    """Full decode: logits -> (Keypoints, descriptors). Batched over frames."""
+def extract_keypoints(semi, desc_coarse, max_keypoints=400, radius=4, conf=0.005,
+                      subpixel=True):
+    """Full decode: logits -> (Keypoints, descriptors). Batched over frames.
+
+    `subpixel` refines peaks to quadratic-vertex positions (enhancement
+    over the reference's integer corners; descriptors are then sampled at
+    the refined coordinates)."""
     heat = decode_heatmap(semi)
     kept = nms_local_max(heat, radius=radius, conf_threshold=conf)
     kps = topk_keypoints(kept, max_keypoints)
+    if subpixel:
+        kps = refine_subpixel(heat, kps)
     desc = sample_descriptors(desc_coarse, kps.xy, kps.valid)
     return kps, desc
