@@ -172,7 +172,9 @@ def test_subpixel_refinement_recovers_true_peak():
     vs, us = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     err_int = []
     err_sub = []
-    for cx_t, cy_t in [(20.3, 31.7), (40.6, 10.2), (8.1, 50.9)]:
+    # Peaks whose argmax pixel is INTERIOR to an 8x8 softmax cell
+    # (x%8, y%8 in 1..6) — the only place refinement is licensed.
+    for cx_t, cy_t in [(20.3, 29.6), (41.4, 10.2), (12.7, 51.8)]:
         heat = np.exp(
             -((us - cx_t) ** 2 + (vs - cy_t) ** 2) / (2 * 1.2**2)
         ).astype(np.float32)
@@ -191,3 +193,14 @@ def test_subpixel_refinement_recovers_true_peak():
         np.asarray(ref.xy[0])[~np.asarray(kps.valid[0])],
         np.asarray(kps.xy[0])[~np.asarray(kps.valid[0])],
     )
+    # A peak whose pixel sits on a cell boundary (x%8 == 0) must NOT be
+    # refined: its neighbors live in a differently-normalized softmax
+    # cell, so the parabola is meaningless there.
+    heat = np.exp(
+        -((us - 40.4) ** 2 + (vs - 29.6) ** 2) / (2 * 1.2**2)
+    ).astype(np.float32)
+    hj = jnp.asarray(heat)[None]
+    kps = nms.topk_keypoints(nms.nms_local_max(hj, 4, 0.005), max_keypoints=4)
+    ref = nms.refine_subpixel(hj, kps)
+    assert np.asarray(kps.xy[0, 0, 0]) % 8 == 0  # argmax on the boundary
+    np.testing.assert_array_equal(np.asarray(ref.xy[0, 0]), np.asarray(kps.xy[0, 0]))

@@ -152,10 +152,19 @@ def refine_subpixel(heatmap, kps: "Keypoints"):
     xy = kps.xy + jnp.where(
         kps.valid[..., None], jnp.stack([dx, dyv], axis=-1), 0.0
     )
-    # Border peaks keep their integer position (a clamped one-sided
-    # neighborhood has no meaningful vertex).
+    # Refine ONLY peaks whose 3x3 neighborhood lies inside one 8x8 cell:
+    # the heatmap is a depth-to-space of PER-CELL softmaxes
+    # (`decode_heatmap`), so values across a cell boundary are normalized
+    # by different partition functions and the parabola through them is
+    # meaningless (measured: refining across boundaries doubles coupled-
+    # pipeline ATE). Image-border peaks keep integer positions too.
+    cx_ = jnp.mod(x0, CELL)
+    cy_ = jnp.mod(y0, CELL)
+    same_cell = (
+        (cx_ >= 1) & (cx_ <= CELL - 2) & (cy_ >= 1) & (cy_ <= CELL - 2)
+    )
     interior = (
-        (x0 > 0) & (x0 < W - 1) & (y0 > 0) & (y0 < H - 1)
+        (x0 > 0) & (x0 < W - 1) & (y0 > 0) & (y0 < H - 1) & same_cell
     )[..., None]
     xy = jnp.where(interior, xy, kps.xy)
     return Keypoints(xy, kps.score, kps.valid)
