@@ -92,9 +92,13 @@ def main():
     )
     ap.add_argument("--iters", type=int, default=0, help="timed iterations per stage")
     ap.add_argument(
+        "--sp-batch", type=int, default=0,
+        help="frontend-stage conv batch (0 = default 128, tiny 2)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=0,
         help="frames per coupled-pipeline chunk (frontend conv batch; "
-        "0 = default 16, tiny 4)",
+        "0 = default 128, tiny 4)",
     )
     args = ap.parse_args()
 
@@ -122,7 +126,7 @@ def main():
     if args.tiny:
         cfg = tiny_test_config()
         n_frames = args.frames or 16
-        sp_batch = 2
+        sp_batch = args.sp_batch or 2
         n_landmarks = 800
         multi_b = 2 if args.multi == -1 else args.multi
     else:
@@ -130,7 +134,7 @@ def main():
         # Default workload sized like TUM fr2_pioneer_slam3 at FRAME_STEP=3:
         # ~848 processed frames (BASELINE.md).
         n_frames = args.frames or 848
-        sp_batch = 32
+        sp_batch = args.sp_batch or 128
         n_landmarks = 6000
         multi_b = 4 if args.multi == -1 else args.multi
 
@@ -261,8 +265,10 @@ def main():
         from vslam_tpu.eval import ate as ate_mod2
         from vslam_tpu.models import weights as wmod
 
-        CHUNK = args.chunk or (4 if args.tiny else 16)
-        S = max(n_frames // CHUNK, 1)
+        # Round the sequence UP to a chunk multiple (never truncate: a
+        # bigger conv batch must not shrink the workload it is timed on).
+        CHUNK = args.chunk or (4 if args.tiny else 128)
+        S = max((n_frames + CHUNK - 1) // CHUNK, 1)
         nC = S * CHUNK
         if args.multi_coupled is None:
             mlist = [2] if args.tiny else [4, 8]
@@ -298,26 +304,71 @@ def main():
         )
 
         def run_coupled_once():
-            _, _, outs = coupled_mod.run_coupled(
+            st_f, _, outs = coupled_mod.run_coupled(
                 params_c, st_c0, dn_c0, gray1, dep1, rgb1, tsc1, fid1,
                 stat1, cfg,
             )
-            return outs
+            return st_f, outs
 
         _note("coupled e2e stage (compile on first run)")
-        outs_c = run_coupled_once()  # warm + diagnostics
-        ts_coupled = _timed(run_coupled_once, lambda o: float(jnp.sum(o.t)))
+        st_cf, outs_c = run_coupled_once()  # warm + diagnostics
+        ts_coupled = _timed(
+            run_coupled_once, lambda o: float(jnp.sum(o[1].t))
+        )
         dt_c = float(np.median(ts_coupled))
         coupled_sprd = _spread(ts_coupled)
         coupled_fps = nC / dt_c
 
-        t_est = np.asarray(outs_c.t)
-        ate_c = ate_mod2.compute_ate(
-            d0["timestamps"], t_est, d0["timestamps"], d0["t"],
-            with_scale=False,
-        )
+        def coupled_ates(dx, st_f, outs):
+            """(raw, RTS-smoothed, smoothed+backend) ATE RMSE — the
+            reference always RTS-smooths before evaluating
+            (`src/main.cpp:1311`), so `smoothed` is the parity metric;
+            `backend` adds the gain-gated PGO/BA pass the headline clock
+            already pays for."""
+            res = pipeline.result_from_outputs(st_f, outs)
+            res_b = pipeline.run_backend(res, cfg)
+
+            def _ate(t_est):
+                return float(
+                    ate_mod2.compute_ate(
+                        dx["timestamps"], np.asarray(t_est),
+                        dx["timestamps"], dx["t"], with_scale=False,
+                    ).rmse
+                )
+
+            return _ate(res.t), _ate(res.t_smoothed), _ate(res_b.t_smoothed)
+
+        # ATE over multiple rendered worlds (same compiled program —
+        # only the scene changes): a single run's ATE on this pipeline
+        # is numerics-sensitive at the ±0.07 m level (conv-batch tiling
+        # perturbs scores; keypoint ties flip; SLAM is chaotic in that
+        # perturbation), so report median-of-3 with the spread.
+        ate_rows = [coupled_ates(d0, st_cf, outs_c)]
+        for s_extra in (1, 2):
+            if s_extra >= len(img_seqs):
+                break
+            dx = img_seqs[s_extra]
+            g_x = jnp.asarray(dx["gray"].reshape(S, CHUNK, H, W))
+            d_x = jnp.asarray(dx["depth_u16"].reshape(S, CHUNK, H, W))
+            t_x = jnp.asarray(
+                dx["timestamps"].reshape(S, CHUNK).astype(np.float32)
+            )
+            st_x, _, outs_x = coupled_mod.run_coupled(
+                params_c, st_c0, dn_c0, g_x, d_x, rgb1, t_x, fid1,
+                stat1, cfg,
+            )
+            ate_rows.append(coupled_ates(dx, st_x, outs_x))
+            del g_x, d_x, st_x, outs_x
+        ates_raw = [r[0] for r in ate_rows]
+        ates_smooth = [r[1] for r in ate_rows]
+        ates_backend = [r[2] for r in ate_rows]
         coupled_diag = {
-            "ate_rmse_coupled_m": round(float(ate_c.rmse), 4),
+            "ate_rmse_coupled_m": round(float(np.median(ates_smooth)), 4),
+            "ate_coupled_seeds_m": [round(a, 4) for a in ates_smooth],
+            "ate_coupled_raw_m": round(float(np.median(ates_raw)), 4),
+            "ate_coupled_after_backend_m": round(
+                float(np.median(ates_backend)), 4
+            ),
             "weight_source": str(weight_src).split("/")[-1],
             "frames": nC,
             "branch_counts": {
@@ -348,18 +399,21 @@ def main():
         for B in mlist:
             if B <= 1:
                 continue
-            n_m = min(nC, (frame_budget // B) // CHUNK * CHUNK)
-            _note(f"multi-coupled B={B}, {n_m} frames/seq")
-            S_m = n_m // CHUNK
+            # Keep the frontend conv batch (C_m*B) near the single-seq
+            # CHUNK so a large default chunk doesn't blow HBM at large B.
+            C_m = max(CHUNK // B, 8)
+            n_m = min(nC, (frame_budget // B) // C_m * C_m)
+            _note(f"multi-coupled B={B}, {n_m} frames/seq, chunk {C_m}")
+            S_m = n_m // C_m
             try:
                 grayB = jnp.asarray(
                     np.stack([s["gray"][:n_m] for s in img_seqs[:B]], axis=1)
-                    .reshape(S_m, CHUNK, B, H, W)
+                    .reshape(S_m, C_m, B, H, W)
                 )
                 depB = jnp.asarray(
                     np.stack(
                         [s["depth_u16"][:n_m] for s in img_seqs[:B]], axis=1
-                    ).reshape(S_m, CHUNK, B, H, W)
+                    ).reshape(S_m, C_m, B, H, W)
                 )
                 tsB = jnp.asarray(
                     np.stack(
@@ -368,14 +422,14 @@ def main():
                             for s in img_seqs[:B]
                         ],
                         axis=1,
-                    ).reshape(S_m, CHUNK, B)
+                    ).reshape(S_m, C_m, B)
                 )
                 fidB = jnp.asarray(
                     np.broadcast_to(
                         np.arange(n_m, dtype=np.int32)[:, None], (n_m, B)
-                    ).reshape(S_m, CHUNK, B)
+                    ).reshape(S_m, C_m, B)
                 )
-                statB = jnp.zeros((S_m, CHUNK, B), bool)
+                statB = jnp.zeros((S_m, C_m, B), bool)
                 stsB = pmesh2.replicate_state(cfg, B)
                 dnB = jax.tree.map(lambda x: jnp.stack([x] * B), dn_c0)
 

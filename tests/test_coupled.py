@@ -75,6 +75,34 @@ def test_coupled_single_runs():
     assert outs.epi_before.shape == (8,)
 
 
+def test_coupled_outputs_feed_rts_and_backend():
+    """The coupled program's StepOutputs carry the EKF snapshots the RTS
+    smoother needs (the reference smooths before every evaluation,
+    `src/main.cpp:1311`) and its final state drives the gain-gated
+    PGO/BA backend — the bench evaluates coupled ATE on exactly this
+    path."""
+    from vslam_tpu.core import pipeline
+
+    cfg = tiny_test_config()
+    params = sp.init_params(
+        jax.random.PRNGKey(0), height=cfg.camera.height, width=cfg.camera.width
+    )
+    gray, dep, ts, fid, stat, d = _data(cfg, n_frames=8, chunk=4)
+    st0 = init_state(cfg)
+    dn0 = gridhash.init_dense_map(
+        cfg.dense.hash_capacity, cfg.dense.cloud_capacity
+    )
+    stf, dnf, outs = coupled.run_coupled(
+        params, st0, dn0, gray, dep, None, ts, fid, stat, cfg
+    )
+    res = pipeline.result_from_outputs(stf, outs)
+    assert res.t_smoothed.shape == (8, 3)
+    assert np.isfinite(res.t_smoothed).all()
+    res_b = pipeline.run_backend(res, cfg)
+    assert res_b.t_smoothed.shape == (8, 3)
+    assert np.isfinite(res_b.t_smoothed).all()
+
+
 def test_coupled_batched_runs():
     cfg = tiny_test_config()
     params = sp.init_params(

@@ -227,6 +227,11 @@ class DenseConfig:
     voxel_size: float = 0.02
     hash_capacity: int = 1 << 21  # device-side voxel hash table slots
     cloud_capacity: int = 1 << 20  # max accumulated dense points
+    # Frames folded into one voxel-hash insert pass (exact-equivalent to
+    # sequential insertion at any value — test_dense_fusion_frame_
+    # batching_exact). ~16 is the measured optimum on the v5e; larger
+    # batches showed no further gain (BENCH_NOTES round-2 sweep).
+    fuse_frames_per_insert: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

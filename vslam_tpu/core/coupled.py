@@ -24,6 +24,7 @@ production throughput configuration).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -90,9 +91,15 @@ def run_coupled(
     C = gray.shape[1]
     dn = config.dense
 
-    def chunk_step(carry, xs):
-        st, dst = carry
-        g, d16, rgb_c, ts, fids, stat = xs
+    # Phase 1: frontend + tracking, scanned over chunks. Dense fusion is
+    # deliberately NOT in this scan body: sharing a chunk step with the
+    # conv stack + tracking scan made the fuse's scatters ~8x slower
+    # (1.4 ms/frame vs 0.18 in isolation — XLA schedules the combined
+    # body pathologically; scripts/bench_coupled_bisect.py). Keypoint
+    # depth reads fuse into the gather, so full-res f32 depth is never
+    # materialized here.
+    def chunk_step(st, xs):
+        g, d16, ts, fids, stat = xs
         kps, desc = _frontend_chunk(params, model, g, config)
         depth_m = d16.astype(jnp.float32) / c.depth_scale
         kpd = _kp_depth(depth_m, kps.xy, config)
@@ -101,18 +108,34 @@ def run_coupled(
             timestamp=ts, stationary=stat, frame_id=fids,
         )
         st, outs = jax.lax.scan(track, st, frames)
-        dst = gridhash.fuse_chunk_scan(
-            dst, depth_m, rgb_c, outs.R, outs.t, c.fx, c.fy, c.cx, c.cy,
-            pixel_step=dn.pixel_step, max_depth=dn.max_depth,
-            voxel_size=dn.voxel_size, frames_per_step=C,
-        )
-        return (st, dst), outs
+        return st, outs
 
+    state, outs = jax.lax.scan(
+        chunk_step, state,
+        (gray, depth_u16, timestamps, frame_ids, stationary),
+    )
+
+    # Phase 2 (same jitted program): dense voxel fusion over the chunks,
+    # consuming the poses phase 1 estimated. Insertion order is identical
+    # to per-frame interleaving, so the accumulated cloud is bit-identical
+    # — the reference accumulates per frame on the SLAM thread
+    # (`src/main.cpp:1081-1146`); here the phases share one clock.
     if rgb is None:
         rgb = jnp.zeros(gray.shape + (3,), jnp.uint8)
-    (state, dense), outs = jax.lax.scan(
-        chunk_step, (state, dense),
-        (gray, depth_u16, rgb, timestamps, frame_ids, stationary),
+
+    def fuse_step(dst, xs):
+        d16, rgb_c, R_c, t_c = xs
+        depth_m = d16.astype(jnp.float32) / c.depth_scale
+        dst = gridhash.fuse_chunk_scan(
+            dst, depth_m, rgb_c, R_c, t_c, c.fx, c.fy, c.cx, c.cy,
+            pixel_step=dn.pixel_step, max_depth=dn.max_depth,
+            voxel_size=dn.voxel_size,
+            frames_per_step=math.gcd(C, dn.fuse_frames_per_insert),
+        )
+        return dst, None
+
+    dense, _ = jax.lax.scan(
+        fuse_step, dense, (depth_u16, rgb, outs.R, outs.t)
     )
     outs = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), outs)
     return state, dense, outs
@@ -151,11 +174,14 @@ def run_coupled_batched(
         return gridhash.fuse_chunk_scan(
             dst, depth_m, None, Rs, ts_, c.fx, c.fy, c.cx, c.cy,
             pixel_step=dn.pixel_step, max_depth=dn.max_depth,
-            voxel_size=dn.voxel_size, frames_per_step=C,
+            voxel_size=dn.voxel_size,
+            frames_per_step=math.gcd(C, dn.fuse_frames_per_insert),
         )
 
-    def chunk_step(carry, xs):
-        sts, dst = carry
+    # Phase 1: frontend + batched tracking over chunks (dense fusion is
+    # phase-separated for the same scheduling pathology as run_coupled —
+    # see the bisect note there).
+    def chunk_step(sts, xs):
         g, d16, ts, fids, stat = xs
         flat = g.reshape((C * B,) + g.shape[2:])
         kps, desc = _frontend_chunk(params, model, flat, config)
@@ -173,16 +199,27 @@ def run_coupled_batched(
             frame_id=fids,
         )
         sts, outs = jax.lax.scan(track, sts, frames)  # outs: (C, B, ...)
+        return sts, outs
+
+    states, outs = jax.lax.scan(
+        chunk_step, states,
+        (gray, depth_u16, timestamps, frame_ids, stationary),
+    )
+
+    # Phase 2: per-member dense fusion over the chunks with the estimated
+    # poses (identical insertion order to per-frame interleaving).
+    def fuse_step(dst, xs):
+        d16, R_c, t_c = xs
+        depth_m = d16.astype(jnp.float32) / c.depth_scale
         # (C, B, H, W) -> (B, C, H, W) per-member chunks
         dmem = jnp.swapaxes(depth_m, 0, 1)
-        Rs = jnp.swapaxes(outs.R, 0, 1)
-        tps = jnp.swapaxes(outs.t, 0, 1)
+        Rs = jnp.swapaxes(R_c, 0, 1)
+        tps = jnp.swapaxes(t_c, 0, 1)
         dst = jax.vmap(fuse_member)(dst, dmem, Rs, tps)
-        return (sts, dst), outs
+        return dst, None
 
-    (states, dense), outs = jax.lax.scan(
-        chunk_step, (states, dense),
-        (gray, depth_u16, timestamps, frame_ids, stationary),
+    dense, _ = jax.lax.scan(
+        fuse_step, dense, (depth_u16, outs.R, outs.t)
     )
     outs = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), outs)
     return states, dense, outs

@@ -96,20 +96,11 @@ def _scan_sequence(state: TrackState, frames: FrameFeatures, config: SlamConfig,
     return jax.lax.scan(step, state, frames)
 
 
-def run_tracking(
-    frames: FrameFeatures,
-    config: SlamConfig,
-    state: Optional[TrackState] = None,
-    gravity=None,
-    initial_height=0.0,
-    seed: int = 42,
-    smooth: bool = True,
-) -> RunResult:
-    """Run the tracking scan over a packed frame stream + RTS smoothing."""
-    if state is None:
-        state = init_state(config, gravity=gravity, initial_height=initial_height)
-    final_state, outs = _scan_sequence(state, frames, config, seed)
-
+def result_from_outputs(final_state: TrackState, outs, smooth: bool = True) -> RunResult:
+    """Package scan outputs as a RunResult, applying the RTS backward
+    smoother over the carried EKF snapshots (the reference always smooths
+    before evaluating, `src/main.cpp:1311` -> `src/Slam.cpp:1761-1810`).
+    Shared by the tracking-only runner and the coupled pixels-in program."""
     t_raw = np.asarray(outs.t)
     if smooth:
         snaps = ekf_ops.EKFSnapshot(
@@ -135,6 +126,22 @@ def run_tracking(
         outputs=outs,
         final_state=final_state,
     )
+
+
+def run_tracking(
+    frames: FrameFeatures,
+    config: SlamConfig,
+    state: Optional[TrackState] = None,
+    gravity=None,
+    initial_height=0.0,
+    seed: int = 42,
+    smooth: bool = True,
+) -> RunResult:
+    """Run the tracking scan over a packed frame stream + RTS smoothing."""
+    if state is None:
+        state = init_state(config, gravity=gravity, initial_height=initial_height)
+    final_state, outs = _scan_sequence(state, frames, config, seed)
+    return result_from_outputs(final_state, outs, smooth=smooth)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

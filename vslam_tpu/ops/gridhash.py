@@ -76,9 +76,14 @@ def insert_points(
     # Slot empty -> insertable. Occupied (same voxel OR collision) -> drop.
     fresh = valid & ~occupied
 
-    # Batch-internal election: lowest index per slot wins.
+    # Batch-internal election: lowest index per slot wins. Non-fresh
+    # points dump to the out-of-bounds slot C (dropped under
+    # mode="drop"), NOT an in-bounds slot: colliding scatter updates can
+    # serialize, and on real (wall-heavy) scenes most of a batch is
+    # non-fresh once the table warms, which would pile every dropped
+    # point's update onto the single dump slot.
     idx = jnp.arange(K, dtype=jnp.int32)
-    winner_tab = jnp.full(C, K, jnp.int32).at[jnp.where(fresh, slots, C - 1)].min(
+    winner_tab = jnp.full(C, K, jnp.int32).at[jnp.where(fresh, slots, C)].min(
         jnp.where(fresh, idx, K), mode="drop"
     )
     win = fresh & (winner_tab[slots] == idx)
