@@ -163,11 +163,15 @@ def main():
                     radius=cfg.frontend.sp_nms_radius,
                     conf=cfg.frontend.sp_confidence_threshold,
                 )
-                checksum = jnp.sum(kps.score) + jnp.sum(desc) * 1e-6
-                return checksum, (kps.xy, kps.score, kps.valid)
+                checksum = (
+                    jnp.sum(kps.score) + jnp.sum(desc) * 1e-6
+                    + jnp.sum(kps.xy) * 1e-6
+                    + jnp.sum(kps.valid.astype(jnp.float32)) * 1e-6
+                )
+                return checksum, None
 
-            chain_out, outs = jax.lax.scan(step, chain, chunks)
-            return chain_out, outs
+            chain_out, _ = jax.lax.scan(step, chain, chunks)
+            return chain_out
 
         chunks = jnp.asarray(
             np.random.default_rng(0).integers(
@@ -176,7 +180,7 @@ def main():
         )
         chain0 = jnp.asarray(0.0, jnp.float32)
         ts_sp = _timed(
-            lambda: frontend_sequence(params, chunks, chain0)[0], float
+            lambda: frontend_sequence(params, chunks, chain0), float
         )
         dt_sp = float(np.median(ts_sp))
         sp_sprd = _spread(ts_sp)
@@ -239,11 +243,17 @@ def main():
                 voxel_size=cfg.dense.voxel_size,
                 frames_per_step=math.gcd(n_frames, 16),
             )
-            return st.cloud_count
+            # Checksum over EVERY state leaf: a count-only readback lets
+            # XLA dead-code-eliminate the cloud append itself (measured
+            # — the round-3 bisect caught the round-2 number doing so).
+            chk = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(st):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
+            return chk
 
         ts_dense = _timed(
             lambda: dense_chained(depth_frames, rgb_frames, Rs, t_path),
-            lambda x: int(x),
+            lambda x: float(x),
         )
         dt_dense = float(np.median(ts_dense))
         dense_sprd = _spread(ts_dense)
@@ -310,10 +320,37 @@ def main():
             )
             return st_f, outs
 
+        @jax.jit
+        def coupled_checksum(params_c, st0, dn0, gray, dep, rgb, tsc,
+                             fid, stat):
+            """The timed program: identical compute, scalar output. A
+            checksum over every result leaf (trajectory, dense cloud,
+            final state) keeps all of it live — returning the buffers
+            themselves is not timed because the relay's output
+            mirroring adds ~1.2 ms/frame of non-compute (bisect F vs
+            G/H); on a directly-attached host outputs stay in HBM.
+            (All arrays are ARGUMENTS: closure arrays embed as HLO
+            constants and blow the relay's compile-request size cap.)"""
+            st_f, dn_f, outs = coupled_mod.run_coupled(
+                params_c, st0, dn0, gray, dep, rgb, tsc, fid, stat, cfg
+            )
+            chk = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(outs):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree.leaves(dn_f):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
+            for leaf in jax.tree.leaves(st_f):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
+            return chk
+
         _note("coupled e2e stage (compile on first run)")
         st_cf, outs_c = run_coupled_once()  # warm + diagnostics
         ts_coupled = _timed(
-            run_coupled_once, lambda o: float(jnp.sum(o[1].t))
+            lambda: coupled_checksum(
+                params_c, st_c0, dn_c0, gray1, dep1, rgb1, tsc1, fid1,
+                stat1,
+            ),
+            float,
         )
         dt_c = float(np.median(ts_coupled))
         coupled_sprd = _spread(ts_coupled)
@@ -433,15 +470,27 @@ def main():
                 stsB = pmesh2.replicate_state(cfg, B)
                 dnB = jax.tree.map(lambda x: jnp.stack([x] * B), dn_c0)
 
-                def run_multi():
-                    _, _, outs = coupled_mod.run_coupled_batched(
+                @jax.jit
+                def run_multi_checksum(params_c, stsB, dnB, grayB, depB,
+                                       tsB, fidB, statB):
+                    sts_f, dn_f, outs = coupled_mod.run_coupled_batched(
                         params_c, stsB, dnB, grayB, depB, tsB, fidB, statB,
                         cfg,
                     )
-                    return outs
+                    chk = jnp.float32(0.0)
+                    for leaf in jax.tree.leaves(outs):
+                        chk = chk + jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(dn_f):
+                        chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
+                    for leaf in jax.tree.leaves(sts_f):
+                        chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
+                    return chk
 
+                _mc_args = (
+                    params_c, stsB, dnB, grayB, depB, tsB, fidB, statB
+                )
                 ts_m = _timed(
-                    run_multi, lambda o: float(jnp.sum(o.t)),
+                    lambda: run_multi_checksum(*_mc_args), float,
                     iters=max(TIMED_ITERS - 2, 2),
                 )
                 dt_m = float(np.median(ts_m))

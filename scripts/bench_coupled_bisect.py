@@ -229,6 +229,23 @@ def main():
         dn = _phase2_body(dn, dep, rgb, outs.R, outs.t)
         return jnp.sum(outs.t) + dn.cloud_count.astype(jnp.float32)
 
+    @jax.jit
+    def full_forced_checksum(params, st, dn, gray, dep, rgb, ts, fids,
+                             stat):
+        """Scalar output, but in-program reductions force EVERY final
+        buffer (cloud, table, outs, final state) so nothing is DCE'd —
+        distinguishes real compute from output-return overhead."""
+        st, outs = _phase1_body(params, st, gray, dep, ts, fids, stat)
+        dn = _phase2_body(dn, dep, rgb, outs.R, outs.t)
+        chk = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(outs):
+            chk = chk + jnp.sum(leaf.astype(jnp.float32))
+        for leaf in jax.tree.leaves(dn):
+            chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
+        for leaf in jax.tree.leaves(st):
+            chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
+        return chk
+
     def full():
         _, _, outs = cm.run_coupled(
             params, st0, dn0, gray1, dep1, rgb1, tsc1, fid1, stat1, cfg
@@ -270,6 +287,12 @@ def main():
 
     t_f = timed(_run_f)
     res["F_full_poses_input_ms_per_frame"] = round(1e3 * t_f / nC, 3)
+    t_h = timed(
+        lambda: full_forced_checksum(
+            params, st0, dn0, gray1, dep1, rgb1, tsc1, fid1, stat1
+        )
+    )
+    res["H_full_forced_checksum_ms_per_frame"] = round(1e3 * t_h / nC, 3)
     t_g = timed(
         lambda: full_scalar_out(
             params, st0, dn0, gray1, dep1, rgb1, tsc1, fid1, stat1

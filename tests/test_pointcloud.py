@@ -192,3 +192,26 @@ def test_beautify_cloud_chain(rng):
     np.testing.assert_allclose(nn, 1.0, atol=1e-3)
     # plane normals point along z
     assert np.abs(normals[:, 2]).mean() > 0.95
+
+
+def test_insert_capacity_drop_and_order():
+    """The sort-compacted block append must match per-point sequential
+    semantics exactly: winners kept in insertion order, inserts dropped
+    once the reported capacity fills, voxels still claimed by dropped
+    points (reference drops silently too once memory-bound)."""
+    state = gridhash.init_dense_map(1 << 14, 8)  # capacity 8
+    pts = np.stack(
+        [np.arange(12, dtype=np.float32) * 0.1 + 0.05,
+         np.zeros(12, np.float32), np.zeros(12, np.float32)], -1
+    )  # 12 distinct 2cm voxels, insertion order = index order
+    cols = np.tile(np.arange(12, dtype=np.uint8)[:, None], (1, 3))
+    insert = jax.jit(gridhash.insert_points)
+    s1 = insert(state, jnp.asarray(pts), jnp.asarray(cols), jnp.ones(12, bool))
+    assert int(s1.cloud_count) == 8  # clamped at capacity
+    np.testing.assert_allclose(np.asarray(s1.cloud_xyz)[:8], pts[:8])
+    np.testing.assert_array_equal(np.asarray(s1.cloud_rgb)[:8], cols[:8])
+    # dropped points 8..11 still claimed their voxels: re-offering them
+    # (or new points in those voxels) adds nothing
+    s2 = insert(s1, jnp.asarray(pts), jnp.asarray(cols), jnp.ones(12, bool))
+    assert int(s2.cloud_count) == 8
+    np.testing.assert_allclose(np.asarray(s2.cloud_xyz)[:8], pts[:8])

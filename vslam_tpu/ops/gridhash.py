@@ -27,22 +27,44 @@ _P2 = 19349663
 _P3 = 83492791
 
 
+# Empty-slot sentinel for the winner table (any real insert id is
+# smaller, so scatter-min claims free slots).
+_EMPTY = 2**31 - 1
+
+# Extra rows past the reported cloud capacity. The sort-compacted append
+# (see insert_points) writes its whole K-row block starting at
+# cloud_count <= capacity; winners past capacity land in this scratch
+# region and are dropped by the count clamp — identical to per-point
+# "drop when full" without a row-scatter. Bounds the K of a single
+# insert call.
+_APPEND_SCRATCH = 81920
+
+
 class DenseMapState(NamedTuple):
-    table_occupied: jnp.ndarray  # (C,) bool
-    table_coord: jnp.ndarray  # (C, 3) int32 — voxel coords for collision check
-    cloud_xyz: jnp.ndarray  # (N, 3) float32
-    cloud_rgb: jnp.ndarray  # (N, 3) uint8
-    cloud_count: jnp.ndarray  # () int32
+    # (C,) int32 — global insert id of the first point to claim the
+    # slot; _EMPTY while free. (Occupancy + election in ONE array: row
+    # scatters and per-pass occupancy scatters measured 4x / 2x the cost
+    # of this single scalar scatter-min — scripts/bench_scatter_variants.)
+    table_winner: jnp.ndarray
+    cloud_xyz: jnp.ndarray  # (N + scratch, 3) float32; [:cloud_count] valid
+    cloud_rgb: jnp.ndarray  # (N + scratch, 3) uint8
+    cloud_count: jnp.ndarray  # () int32, <= reported capacity N
+    insert_epoch: jnp.ndarray  # () int32 — total candidates ever offered
 
 
 def init_dense_map(hash_capacity: int, cloud_capacity: int) -> DenseMapState:
     return DenseMapState(
-        table_occupied=jnp.zeros(hash_capacity, bool),
-        table_coord=jnp.zeros((hash_capacity, 3), jnp.int32),
-        cloud_xyz=jnp.zeros((cloud_capacity, 3), jnp.float32),
-        cloud_rgb=jnp.zeros((cloud_capacity, 3), jnp.uint8),
+        table_winner=jnp.full(hash_capacity, _EMPTY, jnp.int32),
+        cloud_xyz=jnp.zeros((cloud_capacity + _APPEND_SCRATCH, 3), jnp.float32),
+        cloud_rgb=jnp.zeros((cloud_capacity + _APPEND_SCRATCH, 3), jnp.uint8),
         cloud_count=jnp.asarray(0, jnp.int32),
+        insert_epoch=jnp.asarray(0, jnp.int32),
     )
+
+
+def dense_cloud_capacity(state: DenseMapState) -> int:
+    """Reported capacity (cloud arrays carry append scratch past it)."""
+    return state.cloud_xyz.shape[0] - _APPEND_SCRATCH
 
 
 def voxel_coords(points, voxel_size):
@@ -60,50 +82,63 @@ def insert_points(
     """Insert a batch of candidate points; only first-in-voxel survive.
 
     Batch-internal dedup: when several batch points share a slot, the
-    lowest batch index wins (scatter-min election). Collisions with a
-    DIFFERENT occupied voxel drop the point (open hash, no probing — at
-    the default 2^21 slots vs ~1M points the loss is <~5%, comparable to
-    the reference's unordered_set memory/speed trade).
+    lowest batch index wins (scatter-min election on a monotone global
+    insert id). Collisions with a DIFFERENT occupied voxel drop the
+    point (open hash, no probing — at the default 2^21 slots vs ~1M
+    points the loss is <~5%, comparable to the reference's
+    unordered_set memory/speed trade, `main.cpp:1087-1094`).
+
+    TPU scatter economics (scripts/bench_scatter_variants.py, v5e,
+    614k updates): scalar scatter ~7-8 ms, (1,3)-row scatter ~29 ms,
+    row gather ~6.5 ms, argsort ~4.6 ms. So this does exactly ONE
+    scalar scatter-min (election + occupancy in the winner table) and
+    NO row scatters: winners are sorted to the front of the batch
+    (stable argsort on a win-keyed index, preserving insertion order)
+    and appended as one contiguous dynamic_update_slice block into the
+    scratch-padded cloud arrays. Semantics are identical to per-point
+    sequential insertion: same winners, same order, same drop-when-full.
     """
-    C = state.table_occupied.shape[0]
-    N = state.cloud_xyz.shape[0]
+    C = state.table_winner.shape[0]
+    N = dense_cloud_capacity(state)
     K = points.shape[0]
+    if K > _APPEND_SCRATCH:
+        raise ValueError(
+            f"insert batch {K} exceeds append scratch {_APPEND_SCRATCH}; "
+            "split the batch (fuse_chunk_scan frames_per_step does this)"
+        )
 
     coords = voxel_coords(points, voxel_size)
     slots = voxel_hash(coords, C)
+    gid = state.insert_epoch + jnp.arange(K, dtype=jnp.int32)
 
-    occupied = state.table_occupied[slots]
-    # Slot empty -> insertable. Occupied (same voxel OR collision) -> drop.
-    fresh = valid & ~occupied
+    prev = state.table_winner[slots]
+    # Invalid points dump to the OOB slot C (dropped under mode="drop").
+    tabw = state.table_winner.at[jnp.where(valid, slots, C)].min(
+        jnp.where(valid, gid, _EMPTY), mode="drop"
+    )
+    # Won = slot was free before this batch AND this point's id is the
+    # minimum the slot saw (ids are globally monotone, so a free slot's
+    # post-scatter winner is always from this batch).
+    win = valid & (prev == _EMPTY) & (tabw[slots] == gid)
 
-    # Batch-internal election: lowest index per slot wins. Non-fresh
-    # points dump to the out-of-bounds slot C (dropped under
-    # mode="drop"), NOT an in-bounds slot: colliding scatter updates can
-    # serialize, and on real (wall-heavy) scenes most of a batch is
-    # non-fresh once the table warms, which would pile every dropped
-    # point's update onto the single dump slot.
+    # Sort-compact append: winners first, in batch (= insertion) order.
     idx = jnp.arange(K, dtype=jnp.int32)
-    winner_tab = jnp.full(C, K, jnp.int32).at[jnp.where(fresh, slots, C)].min(
-        jnp.where(fresh, idx, K), mode="drop"
+    perm = jnp.argsort(jnp.where(win, idx, K), stable=True)
+    n_win = jnp.sum(win).astype(jnp.int32)
+    start = state.cloud_count  # always <= N; block fits in scratch
+    cloud_xyz = jax.lax.dynamic_update_slice(
+        state.cloud_xyz, points[perm], (start, jnp.int32(0))
     )
-    win = fresh & (winner_tab[slots] == idx)
-
-    # Update hash table.
-    tab_occ = state.table_occupied.at[jnp.where(win, slots, C)].set(True, mode="drop")
-    tab_coord = state.table_coord.at[jnp.where(win, slots, C)].set(
-        coords, mode="drop"
+    cloud_rgb = jax.lax.dynamic_update_slice(
+        state.cloud_rgb, colors[perm].astype(jnp.uint8),
+        (start, jnp.int32(0)),
     )
+    new_count = jnp.minimum(start + n_win, N)
 
-    # Append winners to the cloud (free slots = cursor + rank).
-    rank = jnp.cumsum(win) - 1
-    dest = state.cloud_count + rank
-    ok = win & (dest < N)
-    dest_c = jnp.where(ok, dest, N)
-    cloud_xyz = state.cloud_xyz.at[dest_c].set(points, mode="drop")
-    cloud_rgb = state.cloud_rgb.at[dest_c].set(colors, mode="drop")
-    new_count = jnp.minimum(state.cloud_count + jnp.sum(win), N)
-
-    return DenseMapState(tab_occ, tab_coord, cloud_xyz, cloud_rgb, new_count)
+    return DenseMapState(
+        tabw, cloud_xyz, cloud_rgb, new_count,
+        state.insert_epoch + K,
+    )
 
 
 @functools.partial(
