@@ -34,9 +34,9 @@ def evaluate(params, **kw):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--images", type=int, default=384)
+    ap.add_argument("--images", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--desc-weight", type=float, default=1.0)

@@ -271,10 +271,30 @@ def make_trainer(height=120, width=160, lr=1e-3, desc_weight=1.0):
         labels come from warping the corners) + descriptor hinge loss over
         the cell correspondence grid."""
         labels_a = corners_to_cell_labels(corners, cmask, height, width)
-        H = random_homographies(key, images.shape[0], height, width)
+        k_h, k_p = jax.random.split(key)
+        H = random_homographies(k_h, images.shape[0], height, width)
         warped, _ = warp_images(images, H)
         wc, wmask = warp_corners(corners, cmask, H, height, width)
         labels_b = corners_to_cell_labels(wc, wmask, height, width)
+        # Photometric augmentation on the warped view only: descriptors
+        # must match across exposure/sharpness changes (the band-limited
+        # renderer varies effective sharpness with subpixel phase).
+        kb, kg, ko, kn = jax.random.split(k_p, 4)
+        B = images.shape[0]
+        gain = jax.random.uniform(kg, (B, 1, 1, 1), minval=0.8, maxval=1.2)
+        bias = jax.random.uniform(ko, (B, 1, 1, 1), minval=-0.08, maxval=0.08)
+        blur_on = jax.random.bernoulli(kb, 0.5, (B, 1, 1, 1))
+
+        def binomial_blur(x):
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+            x = 0.25 * xp[:, :-2] + 0.5 * xp[:, 1:-1] + 0.25 * xp[:, 2:]
+            xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+            return 0.25 * xp[:, :, :-2] + 0.5 * xp[:, :, 1:-1] + 0.25 * xp[:, :, 2:]
+
+        warped = jnp.where(blur_on, binomial_blur(warped), warped)
+        warped = warped * gain + bias + 0.02 * jax.random.normal(
+            kn, warped.shape
+        )
 
         def loss_fn(params):
             semi_a, desc_a = model.apply(params, images)
