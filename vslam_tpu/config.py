@@ -195,6 +195,13 @@ class OptimizerConfig:
     ba_max_jump: float = 0.5
     ba_window_kfs: int = 10
     ba_max_points: int = 2048
+    # Post-hoc BA runs as a SWEEP of overlapping windows over the whole
+    # keyframe chain (stride < window so corrections chain forward), not
+    # just the trailing window — the reference's (disabled) local BA ran
+    # per new keyframe and so covered the chain incrementally
+    # (`src/Slam.cpp:709-722`); a single end-window cannot correct
+    # accumulated drift. Each window stays gain-gated (never hurts).
+    ba_sweep_stride: int = 5
     ba_huber_px: float = 5.0
     max_iterations: int = 10
     convergence: float = 1e-6

@@ -423,6 +423,7 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
     import jax.numpy as jnp
 
     from vslam_tpu.ops import ba as ba_ops
+    from vslam_tpu.ops import pgo as pgo_ops
 
     kfs = st.keyframes
     oc = config.opt
@@ -444,58 +445,107 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
     kfs1 = kfs._replace(R=R1, t=t1)
     st1 = st._replace(keyframes=kfs1, map=st.map._replace(pos=pos1))
 
-    # ---- Windowed BA on the PGO-corrected state ----
+    # ---- Windowed-BA SWEEP over the whole keyframe chain ----
+    # A single trailing window cannot correct accumulated drift; the
+    # reference's (disabled) local BA ran per new keyframe and covered
+    # the chain incrementally (`src/Slam.cpp:699-725`). The sweep scans
+    # overlapping W-keyframe windows front-to-back (stride < W so each
+    # window starts from poses the previous one already corrected),
+    # every window independently gain-gated so the pass never hurts.
     W = oc.ba_window_kfs
+    KFC = kfs1.R.shape[0]
     big = jnp.iinfo(jnp.int32).max
-    # Last-W valid keyframes by frame id, OLDEST FIRST and with any
-    # invalid padding at the END — bundle_adjust gauge-fixes the first
-    # window pose, which must be a real keyframe.
+    # Valid keyframes by frame id, OLDEST FIRST, invalid padding at the
+    # END — bundle_adjust gauge-fixes the first window pose, which must
+    # be a real keyframe.
     order = jnp.argsort(
         jnp.where(kfs1.valid, kfs1.frame_id, big)
     ).astype(jnp.int32)
-    start = jnp.maximum(jnp.sum(kfs1.valid) - W, 0)
-    slots = jax.lax.dynamic_slice(order, (start,), (W,))
-    pose_ok = kfs1.valid[slots]
+    n_valid = jnp.sum(kfs1.valid)
+    stride = max(int(oc.ba_sweep_stride), 1)
+    n_windows = max((KFC - W) // stride + 1, 1)
     can_ba = (
-        (jnp.sum(pose_ok) >= 3)
+        (n_valid >= 3)
         & (jnp.sum(st1.map.valid) >= 16)
         & config.opt.enable_local_ba
     )
 
     def ba_branch(_):
-        X, uv, mask, cand = _build_ba_obs(
-            st1.map, kfs1, slots, config, oc.ba_max_points
+        last_start = jnp.maximum(n_valid - W, 0)
+
+        def win_step(carry, widx):
+            Rk, tk, pos = carry
+            start = jnp.minimum(widx * stride, last_start)
+            # Only the first window at each clamped start runs; the tail
+            # windows past the chain would redundantly re-optimize the
+            # final window.
+            active = (widx * stride <= last_start) | (widx == 0)
+            slots = jax.lax.dynamic_slice(order, (start,), (W,))
+            pose_ok = kfs1.valid[slots]
+
+            def solve(_):
+                kfs_cur = kfs1._replace(R=Rk, t=tk)
+                map_cur = st1.map._replace(pos=pos)
+                X, uv, mask, cand = _build_ba_obs(
+                    map_cur, kfs_cur, slots, config, oc.ba_max_points
+                )
+                mask = mask & pose_ok[:, None]
+                prob = ba_ops.BAProblem(
+                    R=Rk[slots],
+                    t=tk[slots],
+                    pose_valid=pose_ok,
+                    X=X,
+                    point_valid=jnp.sum(mask, axis=0) >= 2,
+                    uv=uv,
+                    obs_valid=mask,
+                    fx=jnp.asarray(config.camera.fx),
+                    fy=jnp.asarray(config.camera.fy),
+                    cx=jnp.asarray(config.camera.cx),
+                    cy=jnp.asarray(config.camera.cy),
+                )
+                R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
+                    prob, iterations=oc.max_iterations,
+                    huber_px=oc.ba_huber_px,
+                )
+                accept = (
+                    ba_ops.ba_accept_window(
+                        prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
+                        min_cost_per_obs=oc.ba_min_cost_per_obs,
+                    )
+                    & (jnp.sum(pose_ok) >= 3)
+                )
+                # Per-KF jump gate (Config.h:100) + padding guard.
+                jump = jnp.linalg.norm(t_opt - prob.t, axis=-1)
+                ok_vec = accept & pose_ok & (jump < oc.ba_max_jump)
+                dest = jnp.where(ok_vec, slots, KFC)
+                Rk2 = Rk.at[dest].set(R_opt, mode="drop")
+                tk2 = tk.at[dest].set(t_opt, mode="drop")
+                pdest = jnp.where(
+                    accept & prob.point_valid, cand, pos.shape[0]
+                )
+                pos2 = pos.at[pdest].set(X_opt, mode="drop")
+                return Rk2, tk2, pos2
+
+            Rk, tk, pos = jax.lax.cond(
+                active, solve, lambda _: (Rk, tk, pos), None
+            )
+            return (Rk, tk, pos), None
+
+        (R2, t2, pos2), _ = jax.lax.scan(
+            win_step, (kfs1.R, kfs1.t, st1.map.pos),
+            jnp.arange(n_windows, dtype=jnp.int32),
         )
-        mask = mask & pose_ok[:, None]
-        prob = ba_ops.BAProblem(
-            R=kfs1.R[slots],
-            t=kfs1.t[slots],
-            pose_valid=pose_ok,
-            X=X,
-            point_valid=jnp.sum(mask, axis=0) >= 2,
-            uv=uv,
-            obs_valid=mask,
-            fx=jnp.asarray(config.camera.fx), fy=jnp.asarray(config.camera.fy),
-            cx=jnp.asarray(config.camera.cx), cy=jnp.asarray(config.camera.cy),
+        # One trajectory-correction pass vs the pre-sweep keyframe poses.
+        frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
+        _, t_corr2 = pgo_ops.correct_trajectory(
+            frame_ids, res_R, t_corr, kfs1.frame_id, kfs1.valid,
+            kfs1.R, kfs1.t, R2, t2,
         )
-        R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
-            prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
+        _, t_corr2_s = pgo_ops.correct_trajectory(
+            frame_ids, res_R, t_corr_s, kfs1.frame_id, kfs1.valid,
+            kfs1.R, kfs1.t, R2, t2,
         )
-        # Gain gate: significance + joint-cost + pose-vs-original-points
-        # (ba_accept_window).
-        accept = ba_ops.ba_accept_window(
-            prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-            min_cost_per_obs=oc.ba_min_cost_per_obs,
-        )
-        R_opt = jnp.where(accept, R_opt, prob.R)
-        t_opt = jnp.where(accept, t_opt, prob.t)
-        X_opt = jnp.where(accept, X_opt, prob.X)
-        # Invalid padding rows must never write back to the ring.
-        slots_wb = jnp.where(pose_ok, slots, kfs1.R.shape[0])
-        return _ba_finish(
-            kfs1, st1.map.pos, slots_wb, prob.t, R_opt, t_opt, X_opt, cand,
-            prob.point_valid, res_R, t_corr, t_corr_s, oc.ba_max_jump,
-        )
+        return R2, t2, t_corr2, t_corr2_s, pos2
 
     def ba_skip(_):
         return kfs1.R, kfs1.t, t_corr, t_corr_s, st1.map.pos
