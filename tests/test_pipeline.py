@@ -201,6 +201,66 @@ def test_windowed_ba_fixes_noisy_poses():
     assert err_after.mean() < 0.6 * err_before.mean(), (err_before, err_after)
 
 
+def test_ba_sweep_corrects_chain_drift():
+    """The fused backend sweeps overlapping gain-gated BA windows over
+    the WHOLE keyframe chain (the reference's disabled local BA ran per
+    new keyframe, `src/Slam.cpp:699-725`, so it covered the chain
+    incrementally) — accumulated random-walk drift on keyframes far
+    BEFORE the trailing window must also shrink."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, seq = make_tiny_seq(num_frames=60)
+    cfg = cfg.replace(
+        map=dataclasses.replace(cfg.map, kf_min_frame_gap=4),
+        opt=dataclasses.replace(
+            cfg.opt, ba_window_kfs=4, ba_sweep_stride=2
+        ),
+    )
+    result, _ = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    st = result.final_state
+    kf_valid = np.asarray(st.keyframes.valid)
+    kft_true = np.asarray(st.keyframes.t)
+    slots_all = np.nonzero(kf_valid)[0]
+    order = np.argsort(np.asarray(st.keyframes.frame_id)[slots_all])
+    chain = slots_all[order]  # oldest -> newest
+    assert len(chain) >= cfg.opt.ba_window_kfs + 2 * cfg.opt.ba_sweep_stride, (
+        "sequence too short to exercise multiple windows: %d KFs" % len(chain)
+    )
+    # Cumulative random-walk drift (the coupled-run failure mode), zero
+    # at the oldest keyframe (BA gauge-fixes each window's first pose).
+    rng = np.random.default_rng(7)
+    walk = np.cumsum(
+        rng.normal(0, 0.025, (len(chain), 3)).astype(np.float32), axis=0
+    )
+    walk -= walk[0]
+    noise = np.zeros_like(kft_true)
+    noise[chain] = walk
+    perturbed = dataclasses.replace(
+        result,
+        final_state=st._replace(
+            keyframes=st.keyframes._replace(t=jnp.asarray(kft_true + noise))
+        ),
+    )
+    r2 = pipeline.run_backend(perturbed, cfg)
+    kft_after = np.asarray(r2.final_state.keyframes.t)
+    # Keyframes strictly before the trailing window: a single-window BA
+    # cannot touch them; the sweep must.
+    early = chain[1 : len(chain) - cfg.opt.ba_window_kfs]
+    err_before = np.linalg.norm(noise[early], axis=-1)
+    err_after = np.linalg.norm(kft_after[early] - kft_true[early], axis=-1)
+    assert err_after.mean() < 0.6 * err_before.mean(), (
+        err_before.mean(), err_after.mean()
+    )
+    # And the whole chain must never get worse.
+    err_b_all = np.linalg.norm(noise[chain[1:]], axis=-1)
+    err_a_all = np.linalg.norm(
+        kft_after[chain[1:]] - kft_true[chain[1:]], axis=-1
+    )
+    assert err_a_all.mean() < err_b_all.mean()
+
+
 def test_map_saturation_eviction_policy():
     """Full map: inserts evict the lowest found-ratio OLD points; young
     points are protected; counters reset on the recycled slots. (The

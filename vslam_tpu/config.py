@@ -202,6 +202,18 @@ class OptimizerConfig:
     # (`src/Slam.cpp:709-722`); a single end-window cannot correct
     # accumulated drift. Each window stays gain-gated (never hurts).
     ba_sweep_stride: int = 5
+    # Sweep windows anchor on poses the PREVIOUS window already
+    # corrected (fix_first_n=stride) and carry a metric point prior
+    # (map points are Kinect-depth back-projections; sigma_z ~ 2-3 cm
+    # -> 1/sigma^2 ~ 1e3 m^-2, comparable to the reprojection
+    # information). Together these suppress the point-chasing overfit
+    # that made the reference ship local BA disabled (Config.h:98-99),
+    # so the sweep can safely fire below the old 4 px^2 significance
+    # threshold — 0.25 px^2 stays above the matched-pixel noise floor
+    # of a healthy oracle run (~0.1 px^2), keeping the backend a
+    # bit-exact identity there.
+    ba_point_prior_weight: float = 1000.0
+    ba_sweep_min_cost_per_obs: float = 0.25
     ba_huber_px: float = 5.0
     max_iterations: int = 10
     convergence: float = 1e-6

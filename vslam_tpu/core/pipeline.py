@@ -380,11 +380,13 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     )
     R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
         prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
+        point_prior_weight=oc.ba_point_prior_weight,
     )
-    # Gain gate (same as the fused backend; see ba_accept_window).
+    # Gain gate (same parameters as the fused backend's sweep, so the
+    # two paths stay equivalent on chains that fit one window).
     accept = ba_ops.ba_accept_window(
         prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-        min_cost_per_obs=oc.ba_min_cost_per_obs,
+        min_cost_per_obs=oc.ba_sweep_min_cost_per_obs,
     )
     R_opt = jnp.where(accept, R_opt, prob.R)
     t_opt = jnp.where(accept, t_opt, prob.t)
@@ -463,7 +465,9 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
     ).astype(jnp.int32)
     n_valid = jnp.sum(kfs1.valid)
     stride = max(int(oc.ba_sweep_stride), 1)
-    n_windows = max((KFC - W) // stride + 1, 1)
+    # Ceil so a final clamped window always covers the newest keyframes
+    # even when (KFC - W) is not a stride multiple.
+    n_windows = max(-(-(KFC - W) // stride) + 1, 1)
     can_ba = (
         (n_valid >= 3)
         & (jnp.sum(st1.map.valid) >= 16)
@@ -476,10 +480,10 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
         def win_step(carry, widx):
             Rk, tk, pos = carry
             start = jnp.minimum(widx * stride, last_start)
-            # Only the first window at each clamped start runs; the tail
-            # windows past the chain would redundantly re-optimize the
-            # final window.
-            active = (widx * stride <= last_start) | (widx == 0)
+            # Exactly ONE window runs at the clamped last_start (the
+            # first widx whose unclamped start reaches it); later windows
+            # would redundantly re-optimize the same final window.
+            active = (widx == 0) | ((widx - 1) * stride < last_start)
             slots = jax.lax.dynamic_slice(order, (start,), (W,))
             pose_ok = kfs1.valid[slots]
 
@@ -503,14 +507,21 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
                     cx=jnp.asarray(config.camera.cx),
                     cy=jnp.asarray(config.camera.cy),
                 )
+                # Window 0 fixes only its first pose (the global gauge
+                # root); every later window fixes the first `stride`
+                # poses — already corrected by the previous window —
+                # which anchors the shared points (ORB-SLAM-style fixed
+                # observers) and chains corrections forward.
+                fixn = jnp.where(widx == 0, 1, stride)
                 R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
                     prob, iterations=oc.max_iterations,
-                    huber_px=oc.ba_huber_px,
+                    huber_px=oc.ba_huber_px, fix_first_n=fixn,
+                    point_prior_weight=oc.ba_point_prior_weight,
                 )
                 accept = (
                     ba_ops.ba_accept_window(
                         prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-                        min_cost_per_obs=oc.ba_min_cost_per_obs,
+                        min_cost_per_obs=oc.ba_sweep_min_cost_per_obs,
                     )
                     & (jnp.sum(pose_ok) >= 3)
                 )

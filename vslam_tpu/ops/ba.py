@@ -105,7 +105,7 @@ def _build_jacobians(p, prob: BAProblem, R):
 
 
 def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_n=1,
-                 prior_w=0.0, prior_xi=None):
+                 prior_w=0.0, prior_xi=None, prior_w_pt=0.0, prior_dx=None):
     """One damped Schur-complement normal-equation solve.
 
     Returns (delta_pose (W, 6), delta_point (P, 3)).
@@ -138,6 +138,15 @@ def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_
     if prior_xi is not None:
         Hpp = Hpp + prior_w * jnp.eye(6, dtype=dtype)[None]
         g_pose = g_pose + prior_w * prior_xi
+
+    # Soft point prior toward initialization (map points carry METRIC
+    # anchoring from sensor-depth back-projection — Kinect depth noise
+    # ~cm maps to a prior weight comparable to the reprojection
+    # information, so points resist being dragged to chase drifted
+    # poses: the overfit mode that made the reference disable local BA).
+    if prior_dx is not None:
+        Hmm = Hmm + prior_w_pt * jnp.eye(3, dtype=dtype)[None]
+        g_point = g_point + prior_w_pt * prior_dx
 
     # LM damping (additive on the diagonal)
     eye6 = jnp.eye(6, dtype=dtype)
@@ -172,10 +181,11 @@ def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_
     return delta_pose, delta_point
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "fix_first_n"))
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
-                  init_lambda: float = 1e-3, fix_first_n: int = 1,
-                  pose_prior_weight: float = 30.0):
+                  init_lambda: float = 1e-3, fix_first_n=1,
+                  pose_prior_weight: float = 30.0,
+                  point_prior_weight: float = 0.0):
     """LM loop with accept/reject damping (`Optimizer.cpp:408-570`).
 
     Returns (R, t, X, final_cost)."""
@@ -204,6 +214,8 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
         w = _huber_weights(r, static_mask.astype(dtype), huber_px)
         c = _cost(r, w) + pose_prior_weight * jnp.sum(
             prior_residual(R, t) ** 2 * prob.pose_valid[:, None]
+        ) + point_prior_weight * jnp.sum(
+            (X - prob.X) ** 2 * prob.point_valid[:, None]
         )
         return r, w, c, p, front
 
@@ -230,6 +242,7 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
             J_pose, J_point, r, w_lin,
             prob.pose_valid, prob.point_valid, lam, fix_first_n=fix_first_n,
             prior_w=pose_prior_weight, prior_xi=prior_residual(R, t),
+            prior_w_pt=point_prior_weight, prior_dx=X - prob.X,
         )
         R2, t2, X2 = apply_delta(R, t, X, dp, dx)
         _, _, cost2, _, _ = eval_cost(R2, t2, X2)
@@ -293,9 +306,10 @@ def ba_accept_window(prob: BAProblem, R_opt, t_opt, X_opt,
     return significant & (c_joint < c0 * (1.0 - 1e-5)) & (c_pose < c0)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "fix_first_n"))
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
-                         gate_px: float = 15.0, fix_first_n: int = 1):
+                         gate_px: float = 15.0, fix_first_n=1,
+                         point_prior_weight: float = 0.0):
     """Outlier-gated BA: drop observations whose INITIAL residual exceeds
     `gate_px` (BA starts from tracked poses, so gross outliers are already
     visible — the same spirit as the reference gating every input through
@@ -305,7 +319,8 @@ def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float 
     ok0 = jnp.linalg.norm(r0, axis=-1) < gate_px
     p1 = prob._replace(obs_valid=prob.obs_valid & ok0 & front0)
     R, t, X, _ = bundle_adjust(
-        p1, iterations=iterations, huber_px=huber_px, fix_first_n=fix_first_n
+        p1, iterations=iterations, huber_px=huber_px, fix_first_n=fix_first_n,
+        point_prior_weight=point_prior_weight,
     )
 
     r1, _, front1 = _project_residuals(R, t, X, prob)
@@ -313,5 +328,5 @@ def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float 
     p2 = prob._replace(R=R, t=t, X=X, obs_valid=prob.obs_valid & ok1 & front1)
     return bundle_adjust(
         p2, iterations=max(iterations // 2, 2), huber_px=huber_px,
-        fix_first_n=fix_first_n,
+        fix_first_n=fix_first_n, point_prior_weight=point_prior_weight,
     )
