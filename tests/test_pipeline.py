@@ -201,10 +201,10 @@ def test_windowed_ba_fixes_noisy_poses():
     assert err_after.mean() < 0.6 * err_before.mean(), (err_before, err_after)
 
 
-def test_ba_sweep_corrects_chain_drift():
-    """The fused backend sweeps overlapping gain-gated BA windows over
-    the WHOLE keyframe chain (the reference's disabled local BA ran per
-    new keyframe, `src/Slam.cpp:699-725`, so it covered the chain
+def test_backend_ba_corrects_chain_drift():
+    """The fused backend solves the WHOLE keyframe chain as one
+    gain-gated global BA (the reference's disabled local BA ran per new
+    keyframe, `src/Slam.cpp:699-725`, so it covered the chain
     incrementally) — accumulated random-walk drift on keyframes far
     BEFORE the trailing window must also shrink."""
     import dataclasses
@@ -214,9 +214,7 @@ def test_ba_sweep_corrects_chain_drift():
     cfg, seq = make_tiny_seq(num_frames=60)
     cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, kf_min_frame_gap=4),
-        opt=dataclasses.replace(
-            cfg.opt, ba_window_kfs=4, ba_sweep_stride=2
-        ),
+        opt=dataclasses.replace(cfg.opt, ba_window_kfs=4),
     )
     result, _ = pipeline.run_synthetic(seq, cfg, use_imu=True)
     st = result.final_state
@@ -225,8 +223,8 @@ def test_ba_sweep_corrects_chain_drift():
     slots_all = np.nonzero(kf_valid)[0]
     order = np.argsort(np.asarray(st.keyframes.frame_id)[slots_all])
     chain = slots_all[order]  # oldest -> newest
-    assert len(chain) >= cfg.opt.ba_window_kfs + 2 * cfg.opt.ba_sweep_stride, (
-        "sequence too short to exercise multiple windows: %d KFs" % len(chain)
+    assert len(chain) >= cfg.opt.ba_window_kfs + 4, (
+        "sequence too short to exercise beyond one window: %d KFs" % len(chain)
     )
     # Cumulative random-walk drift (the coupled-run failure mode), zero
     # at the oldest keyframe (BA gauge-fixes each window's first pose).

@@ -195,25 +195,25 @@ class OptimizerConfig:
     ba_max_jump: float = 0.5
     ba_window_kfs: int = 10
     ba_max_points: int = 2048
-    # Post-hoc BA runs as a SWEEP of overlapping windows over the whole
-    # keyframe chain (stride < window so corrections chain forward), not
-    # just the trailing window — the reference's (disabled) local BA ran
-    # per new keyframe and so covered the chain incrementally
-    # (`src/Slam.cpp:709-722`); a single end-window cannot correct
-    # accumulated drift. Each window stays gain-gated (never hurts).
-    ba_sweep_stride: int = 5
-    # Sweep windows anchor on poses the PREVIOUS window already
-    # corrected (fix_first_n=stride) and carry a metric point prior
-    # (map points are Kinect-depth back-projections; sigma_z ~ 2-3 cm
-    # -> 1/sigma^2 ~ 1e3 m^-2, comparable to the reprojection
-    # information). Together these suppress the point-chasing overfit
-    # that made the reference ship local BA disabled (Config.h:98-99),
-    # so the sweep can safely fire below the old 4 px^2 significance
-    # threshold — 0.25 px^2 stays above the matched-pixel noise floor
-    # of a healthy oracle run (~0.1 px^2), keeping the backend a
-    # bit-exact identity there.
+    # Post-hoc BA in the fused backend solves the WHOLE keyframe ring as
+    # one masked Schur problem (the reference's disabled local BA ran per
+    # new keyframe and so covered the chain incrementally,
+    # `src/Slam.cpp:709-722`; a single end-window cannot correct
+    # accumulated drift, and a joint solve converges further than a
+    # window sweep). The pose block is only (keyframe_capacity*6)^2 —
+    # trivial on the MXU.
+    ba_global_max_points: int = 4096
+    ba_global_iterations: int = 20
+    # Metric point prior (map points are Kinect-depth back-projections;
+    # sigma_z ~ 2-3 cm -> 1/sigma^2 ~ 1e3 m^-2, comparable to the
+    # reprojection information): points resist being dragged to chase
+    # drifted poses — the overfit mode that made the reference ship
+    # local BA disabled (Config.h:98-99). With it, BA can safely fire
+    # below the old 4 px^2 significance threshold — 0.25 px^2 stays
+    # above the matched-pixel noise floor of a healthy oracle run
+    # (~0.1 px^2), keeping the backend a bit-exact identity there.
     ba_point_prior_weight: float = 1000.0
-    ba_sweep_min_cost_per_obs: float = 0.25
+    ba_chain_min_cost_per_obs: float = 0.25
     ba_huber_px: float = 5.0
     max_iterations: int = 10
     convergence: float = 1e-6
@@ -225,7 +225,6 @@ class OptimizerConfig:
     # transfers measurement noise into the trajectory — the regression
     # mode that made the reference ship BA off, Config.h:98-99), and its
     # output is ACCEPTED only when the metric strictly improves.
-    ba_min_cost_per_obs: float = 4.0  # px^2 — ~2 px RMS before BA fires
     pgo_min_chi2_per_dof: float = 2.0  # ~1.4 sigma mean residual to fire
 
     pgo_odom_trans_sigma: float = 0.05
@@ -291,7 +290,10 @@ def tiny_test_config() -> SlamConfig:
         motion=MotionConfig(em_ransac_iters=32, fm_ransac_iters=32, r3d_iters=32),
         pnp=PnPConfig(ransac_iters=32),
         map=MapConfig(map_capacity=512, keyframe_capacity=16),
-        opt=OptimizerConfig(ba_max_points=128, max_loop_constraints=8),
+        opt=OptimizerConfig(
+            ba_max_points=128, ba_global_max_points=256,
+            max_loop_constraints=8,
+        ),
         dense=DenseConfig(hash_capacity=1 << 12, cloud_capacity=1 << 12),
         runtime=RuntimeConfig(chunk_size=8, inference_batch=4),
     )

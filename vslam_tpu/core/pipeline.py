@@ -331,11 +331,16 @@ def _ba_finish(kfs, map_pos, slots, t0_win, R_opt, t_opt, X_opt, cand,
 
 
 def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int] = None):
-    """Post-hoc sliding-window bundle adjustment over the last-W keyframes
-    (activates the reference's disabled local BA capability, C27:
-    `Optimizer.cpp:187-599`, call site `Slam.cpp:699-725`).
+    """Post-hoc bundle adjustment over the keyframe chain (activates the
+    reference's disabled local BA capability, C27: `Optimizer.cpp:187-599`,
+    call site `Slam.cpp:699-725`).
 
-    Observations are rebuilt by projecting map points into each window
+    By default this solves the SAME whole-chain global problem as the
+    fused backend (`_backend_pass`) — the sequential reference
+    implementation it is tested against. Pass `window=k` for an explicit
+    trailing-k-keyframe local window (the reference's local-BA shape).
+
+    Observations are rebuilt by projecting map points into each
     keyframe and radius-matching descriptors (the same association the
     tracker uses). The refined keyframe poses are applied back to the
     trajectory via the interpolation pass, gated by BA_MAX_JUMP
@@ -350,27 +355,40 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     st = result.final_state
     kfs = st.keyframes
     oc = config.opt
-    W = window or oc.ba_window_kfs
     c = config.camera
 
     kf_valid = np.asarray(kfs.valid)
-    slots = np.nonzero(kf_valid)[0]
-    if len(slots) < 3:
+    valid_slots = np.nonzero(kf_valid)[0]
+    if len(valid_slots) < 3:
         return result
-    # last W keyframes by frame id
-    order = np.argsort(np.asarray(kfs.frame_id)[slots])
-    slots = jnp.asarray(slots[order][-W:])
-    Wn = int(slots.shape[0])
-    P = oc.ba_max_points
+    iterations = oc.max_iterations
+    if window is None:
+        # Whole chain, mirroring _backend_pass exactly (same slot order
+        # incl. invalid padding, same P, same iterations) so the fused
+        # and sequential paths agree to float noise.
+        big = np.iinfo(np.int64).max
+        order = np.argsort(
+            np.where(kf_valid, np.asarray(kfs.frame_id), big)
+        )
+        slots = jnp.asarray(order.astype(np.int32))
+        P = oc.ba_global_max_points
+        iterations = oc.ba_global_iterations
+    else:
+        # last `window` valid keyframes by frame id
+        order = np.argsort(np.asarray(kfs.frame_id)[valid_slots])
+        slots = jnp.asarray(valid_slots[order][-window:])
+        P = oc.ba_max_points
     if int(np.asarray(st.map.valid).sum()) < 16:
         return result
 
     X, uv, mask, cand = _build_ba_obs(st.map, kfs, slots, config, P)
+    pose_ok = kfs.valid[slots]
+    mask = mask & pose_ok[:, None]
 
     prob = ba_ops.BAProblem(
         R=kfs.R[slots],
         t=kfs.t[slots],
-        pose_valid=jnp.ones(Wn, dtype=bool),
+        pose_valid=pose_ok,
         X=X,
         point_valid=jnp.sum(mask, axis=0) >= 2,
         uv=uv,
@@ -379,21 +397,23 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         cx=jnp.asarray(c.cx), cy=jnp.asarray(c.cy),
     )
     R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
-        prob, iterations=oc.max_iterations, huber_px=oc.ba_huber_px,
+        prob, iterations=iterations, huber_px=oc.ba_huber_px,
         point_prior_weight=oc.ba_point_prior_weight,
     )
-    # Gain gate (same parameters as the fused backend's sweep, so the
-    # two paths stay equivalent on chains that fit one window).
+    # Gain gate (same parameters as the fused backend, so the two paths
+    # stay equivalent).
     accept = ba_ops.ba_accept_window(
         prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-        min_cost_per_obs=oc.ba_sweep_min_cost_per_obs,
+        min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
     )
     R_opt = jnp.where(accept, R_opt, prob.R)
     t_opt = jnp.where(accept, t_opt, prob.t)
     X_opt = jnp.where(accept, X_opt, prob.X)
 
+    # Invalid padding rows must never write back to the ring.
+    slots_wb = jnp.where(pose_ok, slots, kfs.R.shape[0])
     R_new, t_new, t_corr, t_corr_s, pos_new = _ba_finish(
-        kfs, st.map.pos, slots, prob.t, R_opt, t_opt, X_opt, cand,
+        kfs, st.map.pos, slots_wb, prob.t, R_opt, t_opt, X_opt, cand,
         prob.point_valid, jnp.asarray(result.R), jnp.asarray(result.t),
         jnp.asarray(result.t_smoothed), oc.ba_max_jump,
     )
@@ -413,7 +433,7 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, config):
-    """PGO + windowed BA fused into ONE device program.
+    """PGO + whole-chain global BA fused into ONE device program.
 
     The separate `run_posthoc_pgo` / `run_windowed_ba` passes each cost
     ~100 ms on the axon relay — almost entirely dispatch round trips and
@@ -447,27 +467,26 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
     kfs1 = kfs._replace(R=R1, t=t1)
     st1 = st._replace(keyframes=kfs1, map=st.map._replace(pos=pos1))
 
-    # ---- Windowed-BA SWEEP over the whole keyframe chain ----
+    # ---- Whole-chain GLOBAL BA ----
     # A single trailing window cannot correct accumulated drift; the
-    # reference's (disabled) local BA ran per new keyframe and covered
-    # the chain incrementally (`src/Slam.cpp:699-725`). The sweep scans
-    # overlapping W-keyframe windows front-to-back (stride < W so each
-    # window starts from poses the previous one already corrected),
-    # every window independently gain-gated so the pass never hurts.
-    W = oc.ba_window_kfs
+    # reference's (disabled) local BA ran per new keyframe and so
+    # covered the chain incrementally (`src/Slam.cpp:699-725`). Here the
+    # ENTIRE keyframe ring is one masked Schur problem — the pose block
+    # is only (KFC*6)^2, trivial on the MXU, and one joint solve both
+    # converges further and costs far less than a window sweep (probe:
+    # random-walk chain drift 0.148 m -> 0.018 global vs 0.038 swept).
+    # The metric point prior (ba_point_prior_weight) anchors scale and
+    # stops points chasing drifted poses; the whole pass stays
+    # gain-gated + per-KF jump-gated so it never hurts.
     KFC = kfs1.R.shape[0]
     big = jnp.iinfo(jnp.int32).max
     # Valid keyframes by frame id, OLDEST FIRST, invalid padding at the
-    # END — bundle_adjust gauge-fixes the first window pose, which must
-    # be a real keyframe.
+    # END — bundle_adjust gauge-fixes the first pose, which must be a
+    # real keyframe.
     order = jnp.argsort(
         jnp.where(kfs1.valid, kfs1.frame_id, big)
     ).astype(jnp.int32)
     n_valid = jnp.sum(kfs1.valid)
-    stride = max(int(oc.ba_sweep_stride), 1)
-    # Ceil so a final clamped window always covers the newest keyframes
-    # even when (KFC - W) is not a stride multiple.
-    n_windows = max(-(-(KFC - W) // stride) + 1, 1)
     can_ba = (
         (n_valid >= 3)
         & (jnp.sum(st1.map.valid) >= 16)
@@ -475,78 +494,42 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
     )
 
     def ba_branch(_):
-        last_start = jnp.maximum(n_valid - W, 0)
-
-        def win_step(carry, widx):
-            Rk, tk, pos = carry
-            start = jnp.minimum(widx * stride, last_start)
-            # Exactly ONE window runs at the clamped last_start (the
-            # first widx whose unclamped start reaches it); later windows
-            # would redundantly re-optimize the same final window.
-            active = (widx == 0) | ((widx - 1) * stride < last_start)
-            slots = jax.lax.dynamic_slice(order, (start,), (W,))
-            pose_ok = kfs1.valid[slots]
-
-            def solve(_):
-                kfs_cur = kfs1._replace(R=Rk, t=tk)
-                map_cur = st1.map._replace(pos=pos)
-                X, uv, mask, cand = _build_ba_obs(
-                    map_cur, kfs_cur, slots, config, oc.ba_max_points
-                )
-                mask = mask & pose_ok[:, None]
-                prob = ba_ops.BAProblem(
-                    R=Rk[slots],
-                    t=tk[slots],
-                    pose_valid=pose_ok,
-                    X=X,
-                    point_valid=jnp.sum(mask, axis=0) >= 2,
-                    uv=uv,
-                    obs_valid=mask,
-                    fx=jnp.asarray(config.camera.fx),
-                    fy=jnp.asarray(config.camera.fy),
-                    cx=jnp.asarray(config.camera.cx),
-                    cy=jnp.asarray(config.camera.cy),
-                )
-                # Window 0 fixes only its first pose (the global gauge
-                # root); every later window fixes the first `stride`
-                # poses — already corrected by the previous window —
-                # which anchors the shared points (ORB-SLAM-style fixed
-                # observers) and chains corrections forward.
-                fixn = jnp.where(widx == 0, 1, stride)
-                R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
-                    prob, iterations=oc.max_iterations,
-                    huber_px=oc.ba_huber_px, fix_first_n=fixn,
-                    point_prior_weight=oc.ba_point_prior_weight,
-                )
-                accept = (
-                    ba_ops.ba_accept_window(
-                        prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-                        min_cost_per_obs=oc.ba_sweep_min_cost_per_obs,
-                    )
-                    & (jnp.sum(pose_ok) >= 3)
-                )
-                # Per-KF jump gate (Config.h:100) + padding guard.
-                jump = jnp.linalg.norm(t_opt - prob.t, axis=-1)
-                ok_vec = accept & pose_ok & (jump < oc.ba_max_jump)
-                dest = jnp.where(ok_vec, slots, KFC)
-                Rk2 = Rk.at[dest].set(R_opt, mode="drop")
-                tk2 = tk.at[dest].set(t_opt, mode="drop")
-                pdest = jnp.where(
-                    accept & prob.point_valid, cand, pos.shape[0]
-                )
-                pos2 = pos.at[pdest].set(X_opt, mode="drop")
-                return Rk2, tk2, pos2
-
-            Rk, tk, pos = jax.lax.cond(
-                active, solve, lambda _: (Rk, tk, pos), None
-            )
-            return (Rk, tk, pos), None
-
-        (R2, t2, pos2), _ = jax.lax.scan(
-            win_step, (kfs1.R, kfs1.t, st1.map.pos),
-            jnp.arange(n_windows, dtype=jnp.int32),
+        pose_ok = kfs1.valid[order]
+        X, uv, mask, cand = _build_ba_obs(
+            st1.map, kfs1, order, config, oc.ba_global_max_points
         )
-        # One trajectory-correction pass vs the pre-sweep keyframe poses.
+        mask = mask & pose_ok[:, None]
+        prob = ba_ops.BAProblem(
+            R=kfs1.R[order],
+            t=kfs1.t[order],
+            pose_valid=pose_ok,
+            X=X,
+            point_valid=jnp.sum(mask, axis=0) >= 2,
+            uv=uv,
+            obs_valid=mask,
+            fx=jnp.asarray(config.camera.fx),
+            fy=jnp.asarray(config.camera.fy),
+            cx=jnp.asarray(config.camera.cx),
+            cy=jnp.asarray(config.camera.cy),
+        )
+        R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
+            prob, iterations=oc.ba_global_iterations,
+            huber_px=oc.ba_huber_px,
+            point_prior_weight=oc.ba_point_prior_weight,
+        )
+        accept = ba_ops.ba_accept_window(
+            prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
+            min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
+        )
+        # Per-KF jump gate (Config.h:100) + padding guard.
+        jump = jnp.linalg.norm(t_opt - prob.t, axis=-1)
+        ok_vec = accept & pose_ok & (jump < oc.ba_max_jump)
+        dest = jnp.where(ok_vec, order, KFC)
+        R2 = kfs1.R.at[dest].set(R_opt, mode="drop")
+        t2 = kfs1.t.at[dest].set(t_opt, mode="drop")
+        pdest = jnp.where(accept & prob.point_valid, cand, st1.map.pos.shape[0])
+        pos2 = st1.map.pos.at[pdest].set(X_opt, mode="drop")
+        # Trajectory-correction passes vs the pre-BA keyframe poses.
         frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
         _, t_corr2 = pgo_ops.correct_trajectory(
             frame_ids, res_R, t_corr, kfs1.frame_id, kfs1.valid,
