@@ -94,3 +94,29 @@ def test_ba_masked_invalid_points(rng):
     # invalid points unchanged
     np.testing.assert_array_equal(np.asarray(X)[~pv], np.asarray(prob.X)[~pv])
     assert np.isfinite(float(cost))
+
+
+def test_ba_point_prior_resists_point_chasing(rng):
+    """With accurate points but drifted poses, a free joint solve splits
+    the correction between poses and points (points "chase" the drifted
+    poses — the overfit mode behind the reference's disabled local BA,
+    `include/Config.h:98-99`). The metric point prior must hold the
+    points near their initialization and push the full correction into
+    the poses."""
+    prob, R_gt, t_gt, X_gt = make_ba_problem(
+        rng, pose_noise=0.08, point_noise=0.0, pix_noise=0.1
+    )
+    _, t_free, X_free, _ = ba.bundle_adjust(prob, iterations=15)
+    _, t_pri, X_pri, _ = ba.bundle_adjust(
+        prob, iterations=15, point_prior_weight=1000.0
+    )
+    Xm_free = np.linalg.norm(np.asarray(X_free) - X_gt, axis=-1).mean()
+    Xm_pri = np.linalg.norm(np.asarray(X_pri) - X_gt, axis=-1).mean()
+    # Prior keeps (already-true) points in place.
+    assert Xm_pri < 0.5 * Xm_free + 1e-6, (Xm_free, Xm_pri)
+    t_err0 = np.linalg.norm(np.asarray(prob.t) - t_gt, axis=-1).mean()
+    t_err_pri = np.linalg.norm(np.asarray(t_pri) - t_gt, axis=-1).mean()
+    t_err_free = np.linalg.norm(np.asarray(t_free) - t_gt, axis=-1).mean()
+    # And recovers the poses at least as well as the free solve.
+    assert t_err_pri < 0.3 * t_err0, (t_err0, t_err_pri)
+    assert t_err_pri <= t_err_free * 1.05, (t_err_free, t_err_pri)
