@@ -30,7 +30,14 @@ def cached_sequence(nC, c, seed):
         cy=c.cy, seed=seed, num_landmarks=6000, radius=3.0, with_rgb=False,
     )
     d.pop("rgb", None)
-    np.savez_compressed(path, **{k: v for k, v in d.items() if v is not None})
+    np.savez_compressed(
+        path,
+        **{
+            k: v
+            for k, v in d.items()
+            if isinstance(v, np.ndarray) and v.dtype != object
+        },
+    )
     return d
 
 
