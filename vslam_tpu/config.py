@@ -214,6 +214,34 @@ class OptimizerConfig:
     # (~0.1 px^2), keeping the backend a bit-exact identity there.
     ba_point_prior_weight: float = 1000.0
     ba_chain_min_cost_per_obs: float = 0.25
+    # BA re-associates observations by projecting map points into each
+    # keyframe and radius-matching descriptors. The tracker's loose
+    # 12 px search radius is right for FINDING points under pose error,
+    # but wrong for OPTIMIZING against: with real (noisy) descriptors a
+    # 12 px radius admits mismatches that reprojection cost happily
+    # "improves" while dragging poses away from truth (measured: a
+    # healthy 128-frame coupled run regressed 0.019 -> 0.047 m ATE).
+    # Tracked poses put TRUE re-observations within ~1-2 px, so a tight
+    # association radius + a tight initial-residual outlier gate keep
+    # the BA problem honest.
+    ba_obs_radius_px: float = 4.0
+    ba_obs_desc_threshold: float = 0.4
+    ba_gate_px: float = 4.0
+    # Odometry (relative-pose) edges between consecutive keyframes inside
+    # the BA normal equations: reprojection alone leaves long-wavelength
+    # bending modes of the chain nearly unconstrained, so pixel noise
+    # moves whole pose runs coherently by centimeters (measured on a
+    # healthy coupled run). The tracker's relative poses pin those modes;
+    # genuine corrections with real reprojection evidence still flow
+    # (the sigmas state the odometry's honest accuracy).
+    # Sigma calibration (128-frame healthy coupled probe, input ATE
+    # 0.0194 m): (0.05, 0.02) -> 0.0301 (hurts), (0.02, 0.01) -> 0.0205,
+    # (0.01, 0.005) -> 0.0182 (improves); drifted-chain correction
+    # capacity at (0.01, 0.005) is still 2.4x (0.148 -> 0.061 m probe).
+    # Association radius 4 px beats 8/12 px on the same probe (wider
+    # radii re-admit the mismatch drag the odometry edges suppress).
+    ba_odom_trans_sigma: float = 0.01
+    ba_odom_rot_sigma: float = 0.005
     ba_huber_px: float = 5.0
     max_iterations: int = 10
     convergence: float = 1e-6

@@ -290,8 +290,8 @@ def _build_ba_obs(map_store, kfs, slots, config: SlamConfig, P: int):
         mp_idx, kp_ok, _ = matching.radius_descriptor_match(
             kfs.desc[s], kfs.xy[s], kfs.kp_valid[s],
             desc_pts, uv_proj, in_img,
-            radius_px=config.map.track_search_radius_px,
-            desc_thresh=config.map.track_desc_threshold,
+            radius_px=config.opt.ba_obs_radius_px,
+            desc_thresh=config.opt.ba_obs_desc_threshold,
         )
         # Scatter keypoint pixels onto their matched points.
         dest = jnp.where(kp_ok, mp_idx, P)
@@ -366,7 +366,10 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         # Whole chain, mirroring _backend_pass exactly (same slot order
         # incl. invalid padding, same P, same iterations) so the fused
         # and sequential paths agree to float noise.
-        big = np.iinfo(np.int64).max
+        # int32 max, NOT int64: np.where casts the scalar to frame_id's
+        # int32 dtype, and an int64 max silently wraps to -1 — invalid
+        # slots would sort FIRST and steal the gauge root.
+        big = np.iinfo(np.int32).max
         order = np.argsort(
             np.where(kf_valid, np.asarray(kfs.frame_id), big)
         )
@@ -398,7 +401,10 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
     )
     R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
         prob, iterations=iterations, huber_px=oc.ba_huber_px,
+        gate2_px=oc.ba_gate_px,
         point_prior_weight=oc.ba_point_prior_weight,
+        odo_trans_sigma=oc.ba_odom_trans_sigma,
+        odo_rot_sigma=oc.ba_odom_rot_sigma,
     )
     # Gain gate (same parameters as the fused backend, so the two paths
     # stay equivalent).
@@ -514,8 +520,10 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
         )
         R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
             prob, iterations=oc.ba_global_iterations,
-            huber_px=oc.ba_huber_px,
+            huber_px=oc.ba_huber_px, gate2_px=oc.ba_gate_px,
             point_prior_weight=oc.ba_point_prior_weight,
+            odo_trans_sigma=oc.ba_odom_trans_sigma,
+            odo_rot_sigma=oc.ba_odom_rot_sigma,
         )
         accept = ba_ops.ba_accept_window(
             prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,

@@ -47,6 +47,76 @@ class BAProblem(NamedTuple):
     cy: jnp.ndarray
 
 
+def _odo_residual(xi_i, xi_j, Rcw_i, tcw_i, Rcw_j, tcw_j, mR, mt, sqinfo):
+    """Weighted relative-pose (odometry) residual between two poses under
+    BA's delta convention (dp[:3] = rotation w, dp[3:] = translation dt,
+    perturbing the WORLD->CAM transform — see bundle_adjust.apply_delta).
+
+    Reprojection alone leaves long-wavelength bending modes of a keyframe
+    chain nearly unconstrained — pixel noise then moves whole pose runs
+    coherently by centimeters. The tracker's frame-to-frame odometry is
+    the measurement that pins those modes (the reference fuses the same
+    information through its PGO odometry edges, `Optimizer.cpp:700-737`);
+    here it enters the BA normal equations directly as a relative-pose
+    prior toward the initial chain geometry.
+    """
+    dRi = se3.exp_so3(xi_i[:3])
+    Ri2 = dRi @ Rcw_i
+    ti2 = (dRi @ tcw_i[..., None])[..., 0] + xi_i[3:]
+    dRj = se3.exp_so3(xi_j[:3])
+    Rj2 = dRj @ Rcw_j
+    tj2 = (dRj @ tcw_j[..., None])[..., 0] + xi_j[3:]
+    # Current relative transform T_j ∘ T_i^{-1} vs the measured one.
+    R_rel, t_rel = se3.compose(Rj2, tj2, *se3.inverse(Ri2, ti2))
+    R_err, t_err = se3.compose(*se3.inverse(mR, mt), R_rel, t_rel)
+    return se3.log_se3(R_err, t_err) * sqinfo
+
+
+def _odo_chi2(R, t, mR, mt, edge_w, sqinfo):
+    """Weighted odometry-edge chi^2 at (R, t) — no Jacobians (for LM
+    candidate evaluation)."""
+    Wn = R.shape[0]
+    Rcw = jnp.swapaxes(R, -1, -2)
+    tcw = -(Rcw @ t[..., None])[..., 0]
+    zeros6 = jnp.zeros((Wn - 1, 6), t.dtype)
+    sq = jnp.broadcast_to(sqinfo, (Wn - 1, 6))
+    r_o = jax.vmap(_odo_residual)(
+        zeros6, zeros6, Rcw[:-1], tcw[:-1], Rcw[1:], tcw[1:], mR, mt, sq
+    )
+    return jnp.sum(r_o**2 * edge_w[:, None])
+
+
+def _odo_system(R, t, mR, mt, edge_w, sqinfo):
+    """Linearize the consecutive-pose odometry edges at the CURRENT poses
+    and assemble their dense (W, W, 6, 6) Hessian + (W, 6) gradient
+    contributions (added to the Schur-reduced pose system)."""
+    Wn = R.shape[0]
+    dtype = t.dtype
+    Rcw = jnp.swapaxes(R, -1, -2)
+    tcw = -(Rcw @ t[..., None])[..., 0]
+    zeros6 = jnp.zeros((Wn - 1, 6), dtype)
+    args = (zeros6, zeros6, Rcw[:-1], tcw[:-1], Rcw[1:], tcw[1:], mR, mt)
+    sq = jnp.broadcast_to(sqinfo, (Wn - 1, 6))
+    r_o = jax.vmap(_odo_residual)(*args, sq)
+    Ji, Jj = jax.vmap(jax.jacrev(_odo_residual, argnums=(0, 1)))(*args, sq)
+    H_ii = jnp.einsum("eri,erj,e->eij", Ji, Ji, edge_w)
+    H_jj = jnp.einsum("eri,erj,e->eij", Jj, Jj, edge_w)
+    H_ij = jnp.einsum("eri,erj,e->eij", Ji, Jj, edge_w)
+    g_i = jnp.einsum("eri,er,e->ei", Ji, r_o, edge_w)
+    g_j = jnp.einsum("eri,er,e->ei", Jj, r_o, edge_w)
+    idx = jnp.arange(Wn - 1)
+    H = jnp.zeros((Wn, Wn, 6, 6), dtype)
+    H = H.at[idx, idx].add(H_ii)
+    H = H.at[idx + 1, idx + 1].add(H_jj)
+    H = H.at[idx, idx + 1].add(H_ij)
+    H = H.at[idx + 1, idx].add(jnp.swapaxes(H_ij, -1, -2))
+    g = jnp.zeros((Wn, 6), dtype)
+    g = g.at[:-1].add(g_i)
+    g = g.at[1:].add(g_j)
+    chi2 = jnp.sum(r_o**2 * edge_w[:, None])
+    return H, g, chi2
+
+
 def _project_residuals(R, t, X, prob: BAProblem):
     """Residuals r (W, P, 2), plus camera-frame points for Jacobians.
 
@@ -105,7 +175,8 @@ def _build_jacobians(p, prob: BAProblem, R):
 
 
 def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_n=1,
-                 prior_w=0.0, prior_xi=None, prior_w_pt=0.0, prior_dx=None):
+                 prior_w=0.0, prior_xi=None, prior_w_pt=0.0, prior_dx=None,
+                 H_odo=None, g_odo=None):
     """One damped Schur-complement normal-equation solve.
 
     Returns (delta_pose (W, 6), delta_point (P, 3)).
@@ -166,6 +237,12 @@ def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_
     S = S.at[jnp.arange(W_), jnp.arange(W_)].add(Hpp)
     rhs = g_pose - jnp.einsum("wpik,pk->wi", HpmHinv, g_point)  # (W, 6)
 
+    # Odometry (relative-pose) edges: dense pose-pose blocks added after
+    # the point Schur reduction (they touch no points).
+    if H_odo is not None:
+        S = S + H_odo
+        rhs = rhs + g_odo
+
     Sd = S.transpose(0, 2, 1, 3).reshape(W_ * 6, W_ * 6)
     rd = rhs.reshape(W_ * 6)
     # Fixed/invalid pose rows -> identity
@@ -185,7 +262,8 @@ def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_
 def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
                   init_lambda: float = 1e-3, fix_first_n=1,
                   pose_prior_weight: float = 30.0,
-                  point_prior_weight: float = 0.0):
+                  point_prior_weight: float = 0.0,
+                  odo_trans_sigma=None, odo_rot_sigma=None):
     """LM loop with accept/reject damping (`Optimizer.cpp:408-570`).
 
     Returns (R, t, X, final_cost)."""
@@ -217,11 +295,30 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
         ) + point_prior_weight * jnp.sum(
             (X - prob.X) ** 2 * prob.point_valid[:, None]
         )
+        if use_odo:
+            c = c + _odo_chi2(R, t, odo_mR, odo_mt, odo_w, odo_sq)
         return r, w, c, p, front
 
     # Prior anchors: world->cam transforms of the initial poses.
     R_cw0 = jnp.swapaxes(prob.R, -1, -2)
     t_cw0 = -(R_cw0 @ prob.t[..., None])[..., 0]
+
+    # Odometry edges: measured relatives between consecutive poses come
+    # from the initial chain (the tracker's odometry), acting as a
+    # relative-pose prior that pins the chain's reprojection-blind
+    # bending modes (see _odo_residual).
+    use_odo = odo_trans_sigma is not None and odo_rot_sigma is not None
+    if use_odo:
+        odo_mR, odo_mt = se3.compose(
+            R_cw0[1:], t_cw0[1:], *se3.inverse(R_cw0[:-1], t_cw0[:-1])
+        )
+        odo_w = (prob.pose_valid[1:] & prob.pose_valid[:-1]).astype(dtype)
+        odo_sq = jnp.concatenate(
+            [
+                jnp.full(3, 1.0 / odo_trans_sigma),
+                jnp.full(3, 1.0 / odo_rot_sigma),
+            ]
+        ).astype(dtype)
 
     def prior_residual(R, t):
         """xi such that exp(xi) T_init = T_cur (in (w, dt) layout)."""
@@ -238,11 +335,16 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
         # Linearize only healthy (in-front) observations.
         w_lin = w * front
         J_pose, J_point = _build_jacobians(p, prob, R)
+        if use_odo:
+            H_odo, g_odo, _ = _odo_system(R, t, odo_mR, odo_mt, odo_w, odo_sq)
+        else:
+            H_odo, g_odo = None, None
         dp, dx = _schur_solve(
             J_pose, J_point, r, w_lin,
             prob.pose_valid, prob.point_valid, lam, fix_first_n=fix_first_n,
             prior_w=pose_prior_weight, prior_xi=prior_residual(R, t),
             prior_w_pt=point_prior_weight, prior_dx=X - prob.X,
+            H_odo=H_odo, g_odo=g_odo,
         )
         R2, t2, X2 = apply_delta(R, t, X, dp, dx)
         _, _, cost2, _, _ = eval_cost(R2, t2, X2)
@@ -309,24 +411,37 @@ def ba_accept_window(prob: BAProblem, R_opt, t_opt, X_opt,
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
                          gate_px: float = 15.0, fix_first_n=1,
-                         point_prior_weight: float = 0.0):
+                         point_prior_weight: float = 0.0,
+                         odo_trans_sigma=None, odo_rot_sigma=None,
+                         gate2_px=None):
     """Outlier-gated BA: drop observations whose INITIAL residual exceeds
     `gate_px` (BA starts from tracked poses, so gross outliers are already
     visible — the same spirit as the reference gating every input through
-    RANSAC masks before optimization), optimize, re-gate at the optimum,
-    and polish. Static shapes throughout."""
+    RANSAC masks before optimization), optimize, re-gate at the OPTIMUM
+    with `gate2_px` (defaults to gate_px), and polish.
+
+    The gates are asymmetric on purpose: legitimate pose error makes TRUE
+    observations carry large initial residuals, so the first gate must be
+    loose enough to keep the evidence (Huber + the odometry/point priors
+    handle the admitted outliers); at the stage-1 optimum true residuals
+    have collapsed, so the re-gate can be tight. Static shapes
+    throughout."""
+    if gate2_px is None:
+        gate2_px = gate_px
     r0, _, front0 = _project_residuals(prob.R, prob.t, prob.X, prob)
     ok0 = jnp.linalg.norm(r0, axis=-1) < gate_px
     p1 = prob._replace(obs_valid=prob.obs_valid & ok0 & front0)
     R, t, X, _ = bundle_adjust(
         p1, iterations=iterations, huber_px=huber_px, fix_first_n=fix_first_n,
         point_prior_weight=point_prior_weight,
+        odo_trans_sigma=odo_trans_sigma, odo_rot_sigma=odo_rot_sigma,
     )
 
     r1, _, front1 = _project_residuals(R, t, X, prob)
-    ok1 = jnp.linalg.norm(r1, axis=-1) < gate_px
+    ok1 = jnp.linalg.norm(r1, axis=-1) < gate2_px
     p2 = prob._replace(R=R, t=t, X=X, obs_valid=prob.obs_valid & ok1 & front1)
     return bundle_adjust(
         p2, iterations=max(iterations // 2, 2), huber_px=huber_px,
         fix_first_n=fix_first_n, point_prior_weight=point_prior_weight,
+        odo_trans_sigma=odo_trans_sigma, odo_rot_sigma=odo_rot_sigma,
     )
