@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--frames", type=int, default=896)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--backend", action="store_true",
+        help="also run the gain-gated PGO+BA backend and report its ATE",
+    )
     args = ap.parse_args()
 
     import jax
@@ -142,6 +146,10 @@ def main():
         "frames": nC,
         "ate_raw": round(_ate(res.t), 4),
         "ate_smoothed": round(_ate(res.t_smoothed), 4),
+        "ate_backend": (
+            round(_ate(pipeline.run_backend(res, cfg).t_smoothed), 4)
+            if args.backend else None
+        ),
         "essential_frames": int(ess.sum()),
         "by_branch": {
             "3d3d": seg(ok & ~ess),
