@@ -117,6 +117,16 @@ class PnPConfig:
     periodic_max_jump: float = 1.5
     periodic_blend: float = 0.5
     recovery_cooldown_frames: int = 10  # Slam.cpp:559 cooldown
+    # Register KEYFRAMES at the fully-applied GN-refined pose instead of
+    # the reference's 0.3-0.5 blended one (`src/Slam.cpp:1373-1473`
+    # blends every frame; the keyframe then inherits 50-70% of the
+    # pre-refine pose error, and each anchor switch bakes that error
+    # into the chain — the coupled run's remaining ATE driver is exactly
+    # this per-switch rotation random walk). The per-frame OUTPUT
+    # trajectory keeps the reference's blend; only the stored keyframe
+    # (and the map points back-projected from it) use the full refine.
+    # Same jump/min-point gates as the blended path.
+    kf_refine_full: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -415,7 +415,11 @@ def _refine_pnp(state, frame, config, R_new, t_new, mp_idx, kp_ok, key):
 
     R_out = jnp.where(apply, R_ref, R_new)
     t_out = jnp.where(apply, t_ref, t_new)
-    return R_out, t_out, jnp.where(apply, result.num_inliers, 0)
+    # Fully-applied variant (same gates, blend 1): keyframe registration
+    # uses this when config.pnp.kf_refine_full — see PnPConfig.
+    R_full = jnp.where(apply, result.R, R_new)
+    t_full = jnp.where(apply, result.t, t_new)
+    return R_out, t_out, jnp.where(apply, result.num_inliers, 0), R_full, t_full
 
 
 def _reproject_cull(map_store: MapStore, frame, config, R_new, t_new, mp_idx, kp_ok):
@@ -890,11 +894,18 @@ def tracking_step(
         mp_idx, kp_ok, map2 = _track_local_map(st, frame, config, R_new, t_new)
         st = st._replace(map=map2)
         n_tracked = jnp.sum(kp_ok)
-        R_ref, t_ref, n_pnp = _refine_pnp(
+        R_ref, t_ref, n_pnp, R_full, t_full = _refine_pnp(
             st, frame, config, R_new, t_new, mp_idx, kp_ok, k_pnp
         )
         R_fin = R_ref
         t_fin = jnp.where(frame.stationary, st.t, t_ref)
+        # Keyframe registration pose: fully-applied refine when enabled
+        # (PnPConfig.kf_refine_full), else the blended per-frame pose.
+        if config.pnp.kf_refine_full:
+            R_kfp = R_full
+            t_kfp = jnp.where(frame.stationary, st.t, t_full)
+        else:
+            R_kfp, t_kfp = R_fin, t_fin
 
         # Keyframe policy (`src/Slam.cpp:1062-1070, 1359-1368`)
         gap = frame.frame_id - st.kf_frame_id
@@ -917,11 +928,11 @@ def tracking_step(
         is_kf = is_kf_normal | is_kf_rot | is_kf_post
 
         def kf_branch(s):
-            s2 = _make_keyframe(s, frame, config, R_fin, t_fin, m, gated)
+            s2 = _make_keyframe(s, frame, config, R_kfp, t_kfp, m, gated)
             # Reprojection cull at EVERY keyframe (`src/Slam.cpp:724,
             # 473-500`), on this frame's observed map-point associations.
             s2 = s2._replace(
-                map=_reproject_cull(s2.map, frame, config, R_fin, t_fin, mp_idx, kp_ok)
+                map=_reproject_cull(s2.map, frame, config, R_kfp, t_kfp, mp_idx, kp_ok)
             )
             # Periodic global PnP every PNP_INTERVAL-th keyframe
             # (`src/Slam.cpp:1079-1081, 1477-1522`).
@@ -929,9 +940,9 @@ def tracking_step(
             R_kf, t_kf = jax.lax.cond(
                 do_pnp,
                 lambda: _periodic_pnp(
-                    s2, frame, config, R_fin, t_fin, mp_idx, kp_ok, k_periodic
+                    s2, frame, config, R_kfp, t_kfp, mp_idx, kp_ok, k_periodic
                 ),
-                lambda: (R_fin, t_fin),
+                lambda: (R_kfp, t_kfp),
             )
             # The reference's frame object IS the keyframe: set_pose after
             # run_pnp updates the stored keyframe pose (`Slam.cpp:1520`).

@@ -199,11 +199,17 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
     )(st, frame, R_new, t_new)
     st = st._replace(map=map2)
     n_tracked = jnp.sum(kp_ok, axis=-1)
-    R_ref, t_ref, n_pnp = jax.vmap(
+    R_ref, t_ref, n_pnp, R_full, t_full = jax.vmap(
         lambda s, f, R, t, mi, ko, k: T._refine_pnp(s, f, config, R, t, mi, ko, k)
     )(st, frame, R_new, t_new, mp_idx, kp_ok, k_pnp)
     R_fin = R_ref
     t_fin = jnp.where(frame.stationary[:, None], st.t, t_ref)
+    # Keyframe registration pose (see PnPConfig.kf_refine_full).
+    if config.pnp.kf_refine_full:
+        R_kfp = R_full
+        t_kfp = jnp.where(frame.stationary[:, None], st.t, t_full)
+    else:
+        R_kfp, t_kfp = R_fin, t_fin
 
     # ---- 8. Keyframe policy ----
     gap = frame.frame_id - st.kf_frame_id
@@ -230,7 +236,7 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
             )
             return s2
 
-        st2 = jax.vmap(one)(st0, frame, R_fin, t_fin, m, gated, mp_idx, kp_ok)
+        st2 = jax.vmap(one)(st0, frame, R_kfp, t_kfp, m, gated, mp_idx, kp_ok)
         return _select(is_kf, st2, st0)
 
     st_kf = jax.lax.cond(jnp.any(is_kf), do_kf, lambda s: s, st)
@@ -243,14 +249,14 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
             lambda s, f, R, t, mi, ko, k: T._periodic_pnp(
                 s, f, config, R, t, mi, ko, k
             )
-        )(st_kf, frame, R_fin, t_fin, mp_idx, kp_ok, k_periodic)
+        )(st_kf, frame, R_kfp, t_kfp, mp_idx, kp_ok, k_periodic)
         return (
-            jnp.where(do_pnp[:, None, None], R_p, R_fin),
-            jnp.where(do_pnp[:, None], t_p, t_fin),
+            jnp.where(do_pnp[:, None, None], R_p, R_kfp),
+            jnp.where(do_pnp[:, None], t_p, t_kfp),
         )
 
     R_kf, t_kf = jax.lax.cond(
-        jnp.any(do_pnp), do_periodic, lambda _: (R_fin, t_fin), None
+        jnp.any(do_pnp), do_periodic, lambda _: (R_kfp, t_kfp), None
     )
     # Write the (possibly blended) pose into the active KF + ring slot for
     # members that made a keyframe (`Slam.cpp:1520`).
