@@ -196,3 +196,48 @@ def test_mono_two_view_scale_recovers_metric_path():
     gt_len = float(np.linalg.norm(np.diff(seq.t, axis=0), axis=-1).sum())
     assert 0.7 * gt_len < est_len < 1.3 * gt_len, (est_len, gt_len)
     assert ate_res.rmse < 0.15, ate_res
+
+
+def test_kf_full_refine_returns_unblended_pose():
+    """`_refine_pnp` returns both the reference's blended pose (output
+    trajectory, `src/Slam.cpp:1373-1473`) and the fully-applied one used
+    for keyframe registration (PnPConfig.kf_refine_full): with exact
+    correspondences and a drifted initial pose, the blended result keeps
+    ~(1-blend) of the drift while the full result removes ~all of it."""
+    cfg = tiny_test_config()
+    map_pos, xy, mp_idx, kp_ok, n = _make_world_frame(cfg)
+    st = init_state(cfg)
+    st = st._replace(
+        map=st.map._replace(
+            pos=jnp.asarray(map_pos),
+            valid=jnp.asarray(np.arange(cfg.map.map_capacity) < n),
+        )
+    )
+    frame = _frame(cfg, xy)
+    R_drift = jnp.eye(3, dtype=jnp.float32)
+    t_drift = jnp.asarray([0.08, 0.0, 0.0], jnp.float32)
+    R_out, t_out, n_pnp, R_full, t_full = jax.jit(
+        lambda: tracking._refine_pnp(
+            st, frame, cfg, R_drift, t_drift,
+            jnp.asarray(mp_idx), jnp.asarray(kp_ok), jax.random.PRNGKey(0),
+        )
+    )()
+    assert int(n_pnp) >= n // 2
+    d_blend = float(jnp.linalg.norm(t_out))
+    d_full = float(jnp.linalg.norm(t_full))
+    # Full application converges to the true pose (identity).
+    assert d_full < 0.01, f"full refine left {d_full} m of drift"
+    # Blended keeps 50-70% of the drift (adaptive blend 0.3-0.5).
+    assert 0.3 * 0.08 < d_blend < 0.8 * 0.08, f"blend removed {d_blend}"
+    # Gates: when the refine is rejected, full == blended == input.
+    cfg_gate = dataclasses.replace(
+        cfg, pnp=dataclasses.replace(cfg.pnp, refine_max_jump=1e-9)
+    )
+    _, t_b2, _, _, t_f2 = jax.jit(
+        lambda: tracking._refine_pnp(
+            st, frame, cfg_gate, R_drift, t_drift,
+            jnp.asarray(mp_idx), jnp.asarray(kp_ok), jax.random.PRNGKey(0),
+        )
+    )()
+    np.testing.assert_allclose(np.asarray(t_f2), np.asarray(t_drift), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(t_b2), np.asarray(t_drift), atol=1e-7)
