@@ -135,6 +135,13 @@ def main():
             ),
             "rot_err_mean_deg": round(float(ang[m].mean()), 4),
             "matches_mean": round(float(nm[m].mean()), 1),
+            "step_scale_ratio": round(
+                float(
+                    (np.linalg.norm(dt_est, axis=-1)[m]
+                     / np.maximum(np.linalg.norm(dt_gt, axis=-1)[m], 1e-9)
+                     ).mean()
+                ), 4,
+            ),
         }
 
     # cumulative drift curve, sampled
@@ -146,6 +153,18 @@ def main():
         "frames": nC,
         "ate_raw": round(_ate(res.t), 4),
         "ate_smoothed": round(_ate(res.t_smoothed), 4),
+        # RTS + refine-delta variant: the snapshots the smoother consumes
+        # are taken at the EKF update, BEFORE local-map PnP refinement
+        # (reference order too: `Slam.cpp:1039-1046` vs `:1058-1059`), so
+        # plain RTS discards the refinement. Adding the per-frame delta
+        # (t_raw - x_filt) back keeps the refinement on top of the
+        # smoothed EKF component.
+        "ate_smoothed_delta": round(
+            _ate(
+                np.asarray(res.t_smoothed)
+                + (np.asarray(res.t) - np.asarray(res.outputs.x_filt)[:, :3])
+            ), 4,
+        ),
         "ate_backend": (
             round(_ate(pipeline.run_backend(res, cfg).t_smoothed), 4)
             if args.backend else None

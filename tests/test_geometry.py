@@ -229,3 +229,36 @@ def test_pnp_with_outliers(rng):
     t_cw = -R_cw @ np.asarray(result.t)
     np.testing.assert_allclose(R_cw, R_rel, atol=1e-2)
     np.testing.assert_allclose(t_cw, t_rel, atol=3e-2)
+
+
+def test_essential_sampson_polish_improves_rotation(rng):
+    """The GN Sampson polish (`epipolar.refine_pose_sampson`, NEW vs the
+    reference's algebraic-only `cv::findEssentialMat`) must reduce mean
+    rotation error on noisy two-view geometry and stay exact on clean."""
+    def rot_err(R, R_gt):
+        c = (np.trace(np.asarray(R) @ R_gt.T) - 1) / 2
+        return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+
+    errs = {0: [], 8: []}
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        X, X2, R_gt, t_gt, uv1, uv2 = make_scene(r, n=200, noise=0.7, baseline=5.0)
+        for iters in (0, 8):
+            R, t, _, res = rs.ransac_essential(
+                jax.random.PRNGKey(seed), jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.ones(200, dtype=bool), FX, FY, CX, CY,
+                num_hypotheses=256, threshold_px=1.5, polish_iters=iters,
+            )
+            assert bool(res.ok)
+            errs[iters].append(rot_err(R, R_gt))
+    assert np.mean(errs[8]) < 0.75 * np.mean(errs[0]), errs
+
+    # Clean geometry: the polish must not perturb an exact solution.
+    r = np.random.default_rng(99)
+    X, X2, R_gt, t_gt, uv1, uv2 = make_scene(r, n=200, noise=0.0, baseline=5.0)
+    R, t, _, res = rs.ransac_essential(
+        jax.random.PRNGKey(0), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(200, dtype=bool), FX, FY, CX, CY,
+        num_hypotheses=256, threshold_px=1.5, polish_iters=8,
+    )
+    assert rot_err(R, R_gt) < 5e-3

@@ -221,3 +221,97 @@ def recover_pose(E, uv1, uv2, fx, fy, cx, cy, mask=None):
     good = jnp.take_along_axis(goods, best[..., None, None], axis=-2)[..., 0, :]
     R = se3.orthonormalize(R)
     return R, tt, n_good, good
+
+
+def _sampson_signed(E, xn1, xn2):
+    """Signed Sampson residual of E in NORMALIZED image coordinates
+    (smooth in E — no abs — so GN Jacobians are well-defined)."""
+    x1 = _homog(xn1)
+    x2 = _homog(xn2)
+    Ex1 = x1 @ jnp.swapaxes(E, -1, -2)
+    Etx2 = x2 @ E
+    e = jnp.sum(x2 * Ex1, axis=-1)
+    denom = (
+        Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
+        + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    )
+    return e / jnp.sqrt(jnp.maximum(denom, 1e-12))
+
+
+def refine_pose_sampson(R, t, xn1, xn2, w, iters=8, damping=1e-8):
+    """Gauss-Newton polish of a relative pose on the Sampson error.
+
+    NEW vs the reference: `cv::findEssentialMat` + the weighted 8-point
+    refit minimize an ALGEBRAIC error; this polishes the decomposed
+    (R, t) directly on the first-order geometric (Sampson) distance over
+    the inlier set — the standard two-view upgrade. On the coupled bench
+    the essential-fallback frames carry ~10x the per-frame rotation error
+    of the 3D-3D frames and dominate accumulated yaw drift; this is the
+    targeted fix (diagnosis in BENCH_NOTES round 3).
+
+    Parameterization: 5 DoF, xi = (dw in so(3), dv in T_t S^2);
+    R' = exp(dw) R, t' = normalize(t + B dv) with B an orthonormal basis
+    of the plane perpendicular to t. E(xi) = [t']_x R'.
+
+    Args:
+      R, t: initial pose, x2 = R x1 + t convention, ||t|| = 1.
+      xn1, xn2: (N, 2) NORMALIZED coordinates.
+      w: (N,) nonnegative weights (inlier mask as float).
+      iters: GN steps; each step is accepted only if the weighted cost
+        decreases (reject keeps the previous estimate, so the result is
+        never worse than the input on this objective).
+
+    Returns (R_ref, t_ref) with ||t_ref|| = 1.
+    """
+    import jax
+
+    dtype = t.dtype
+    eye5 = jnp.eye(5, dtype=dtype)
+
+    def tangent_basis(tv):
+        # Any consistent orthonormal (b1, b2) perpendicular to tv.
+        a = jnp.where(
+            jnp.abs(tv[0]) < 0.9,
+            jnp.array([1.0, 0.0, 0.0], dtype),
+            jnp.array([0.0, 1.0, 0.0], dtype),
+        )
+        b1 = jnp.cross(tv, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(tv, b1)
+        return jnp.stack([b1, b2], axis=-1)  # (3, 2)
+
+    def residuals_at(xi, R0, t0, B):
+        Rp = se3.exp_so3(xi[:3]) @ R0
+        tp = t0 + B @ xi[3:]
+        tp = tp / jnp.maximum(jnp.linalg.norm(tp), 1e-12)
+        E = se3.hat(tp) @ Rp
+        return _sampson_signed(E, xn1, xn2)
+
+    def cost_at(xi, R0, t0, B):
+        r = residuals_at(xi, R0, t0, B)
+        return jnp.sum(w * r * r)
+
+    def step(carry, _):
+        R0, t0, c0 = carry
+        B = tangent_basis(t0)
+        zero = jnp.zeros(5, dtype)
+        r = residuals_at(zero, R0, t0, B)
+        J = jax.jacfwd(residuals_at)(zero, R0, t0, B)  # (N, 5)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + damping * eye5
+        g = Jw.T @ r
+        # Small LM-style diagonal lift keyed to the Hessian scale.
+        H = H + 1e-6 * jnp.trace(H) / 5.0 * eye5
+        dxi = -linalg.cholesky_solve_small(H, g)
+        c1 = cost_at(dxi, R0, t0, B)
+        ok = c1 < c0
+        R1 = jnp.where(ok, se3.exp_so3(dxi[:3]) @ R0, R0)
+        t1 = t0 + B @ jnp.where(ok, dxi[3:], jnp.zeros(2, dtype))
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
+        return (R1, t1, jnp.where(ok, c1, c0)), None
+
+    import jax.lax as lax
+
+    c_init = cost_at(jnp.zeros(5, dtype), R, t, tangent_basis(t))
+    (R_ref, t_ref, _), _ = lax.scan(step, (R, t, c_init), None, length=iters)
+    return se3.orthonormalize(R_ref), t_ref

@@ -146,12 +146,18 @@ def ransac_essential(
     num_hypotheses=256,
     threshold_px=1.0,
     min_inliers=15,
+    polish_iters=8,
 ):
     """Essential-matrix RANSAC (reference `cv::findEssentialMat(RANSAC,
     0.999, 1.0)` + recoverPose, `src/Slam.cpp:1193-1213`).
 
     Returns (R, t, E, RansacResult) with x2 = R x1 + t, ||t|| = 1.
     Thresholding is Sampson distance in pixels via F = K^-T E K^-1.
+
+    `polish_iters` > 0 adds a Gauss-Newton Sampson polish of the
+    recovered (R, t) over the inlier set (`epipolar.refine_pose_sampson`)
+    — NEW vs the reference's algebraic-only estimate; set 0 for the
+    reference behavior.
     """
     from vslam_tpu.ops import camera as cam
 
@@ -173,6 +179,11 @@ def ransac_essential(
     final_inl = (d_f < threshold_px) & valid
 
     R, t, n_good, good = epi.recover_pose(E, uv1, uv2, fx, fy, cx, cy, mask=final_inl)
+    if polish_iters > 0:
+        R, t = epi.refine_pose_sampson(
+            R, t, xn1, xn2,
+            (final_inl & good).astype(uv1.dtype), iters=polish_iters,
+        )
     n_inl = jnp.sum(final_inl)
     det_ok = jnp.abs(jnp.linalg.det(R) - 1.0) < 1e-3
     ok = (n_good >= min_inliers) & det_ok
