@@ -104,9 +104,17 @@ def main():
             ).rmse
         )
 
-    # per-frame drift increment: error of frame-to-frame motion vs gt
-    t_est = np.asarray(res.t)
-    R_est = np.asarray(res.R)
+    # per-frame drift increment: error of frame-to-frame motion vs gt.
+    # The estimate's world frame starts at identity while gt's first pose
+    # does not — a CONSTANT rotation offset that Umeyama absorbs in ATE
+    # but which would pollute raw step differences (measured ~105 deg on
+    # the room sequence, inflating 3d3d step "errors" to 35 mm). Align
+    # rigidly (SE3) before differencing.
+    R_al, t_al, _ = ate_mod.align_umeyama(
+        np.asarray(res.t), t_gt, with_scale=False
+    )
+    t_est = np.asarray(res.t) @ R_al.T + t_al
+    R_est = np.einsum("ij,njk->nik", R_al, np.asarray(res.R))
     R_gt = d0["R"]
     dt_est = np.diff(t_est, axis=0)
     dt_gt = np.diff(t_gt, axis=0)
@@ -122,6 +130,7 @@ def main():
     ok = np.asarray(outs.tracking_ok)[1:]
     kf = np.asarray(outs.is_keyframe)[1:]
     nm = np.asarray(outs.num_matches)[1:]
+    ndok = np.asarray(outs.num_depth_ok)[1:]
 
     def seg(mask):
         m = mask & np.isfinite(step_err)
@@ -142,6 +151,8 @@ def main():
                      ).mean()
                 ), 4,
             ),
+            "depth_ok_mean": round(float(ndok[m].mean()), 1),
+            "depth_ok_p10": round(float(np.percentile(ndok[m], 10)), 1),
         }
 
     # cumulative drift curve, sampled

@@ -241,3 +241,39 @@ def test_kf_full_refine_returns_unblended_pose():
     )()
     np.testing.assert_allclose(np.asarray(t_f2), np.asarray(t_drift), atol=1e-7)
     np.testing.assert_allclose(np.asarray(t_b2), np.asarray(t_drift), atol=1e-7)
+
+
+def test_ekf_scale_prior_gates_bad_mono_scale():
+    """`_scale_with_ekf_prior` (MotionConfig.mono_scale_ekf_prior, NEW vs
+    the reference chain): a fresh scale deviating >gate from the EKF's
+    predicted distance-from-keyframe is replaced by the prediction; an
+    agreeing one is averaged with it; an invalid prediction passes the
+    fresh estimate through."""
+    cfg = tiny_test_config()
+    mc = cfg.motion
+    st = init_state(cfg)
+    # EKF at x=(1,0,0), v=(0.5,0,0); KF anchor at origin; dt=0.2
+    # -> predicted distance from KF = 1.1
+    st = st._replace(
+        ekf=st.ekf._replace(
+            x=jnp.asarray([1.0, 0.0, 0.0, 0.5, 0.0, 0.0], jnp.float32)
+        ),
+        kf_t=jnp.zeros(3, jnp.float32),
+        last_time=jnp.asarray(1.0, jnp.float32),
+        tracking_ok=jnp.asarray(True),
+    )
+    frame = _frame(cfg, np.zeros((cfg.frontend.max_keypoints, 2), np.float32),
+                   ts=1.2)
+    s_pred = 1.1
+    # Wildly-off fresh scale (the measured small-baseline failure mode).
+    s_bad = jnp.asarray(1.5 * s_pred, jnp.float32)
+    out = tracking._scale_with_ekf_prior(s_bad, st, frame, mc)
+    np.testing.assert_allclose(float(out), s_pred, rtol=1e-5)
+    # Agreeing fresh scale: averaged.
+    s_good = jnp.asarray(1.05 * s_pred, jnp.float32)
+    out2 = tracking._scale_with_ekf_prior(s_good, st, frame, mc)
+    np.testing.assert_allclose(float(out2), 1.025 * s_pred, rtol=1e-5)
+    # Lost tracking invalidates the prediction: fresh estimate unchanged.
+    st_lost = st._replace(tracking_ok=jnp.asarray(False))
+    out3 = tracking._scale_with_ekf_prior(s_bad, st_lost, frame, mc)
+    np.testing.assert_allclose(float(out3), float(s_bad), rtol=1e-6)

@@ -96,6 +96,20 @@ class MotionConfig:
     # Monocular scale fallback (Config.h:129)
     motion_scale: float = 0.05
 
+    # EKF scale prior for the essential fallback — NEW vs the reference
+    # (`src/Slam.cpp:975-980` trusts the fresh depth-scale solve, then
+    # last_scale). At small keyframe baselines the per-match scale solves
+    # are low-SNR and biased (probe: single-view +10..15% at gap-1
+    # baselines, two-view -16% at 0.7 px noise; the coupled run measured
+    # a +23% essential-branch step-scale bias that dominates translation
+    # drift). The EKF's predicted distance-from-keyframe
+    # ||x + v dt - kf_t|| is a far better prior there: fresh estimates
+    # deviating more than `mono_scale_gate` from it are replaced by it,
+    # and accepted ones are averaged with it. False restores the
+    # reference chain exactly.
+    mono_scale_ekf_prior: bool = True
+    mono_scale_gate: float = 0.3
+
 
 @dataclasses.dataclass(frozen=True)
 class PnPConfig:

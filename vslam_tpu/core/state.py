@@ -148,6 +148,10 @@ class StepOutputs(NamedTuple):
     # the rare expensive paths actually fired).
     bridged: jnp.ndarray
     recovered: jnp.ndarray
+    # KF matches with valid depth at BOTH views — the 3D-3D path's
+    # support set (diagnoses essential-fallback frames: did 3D-3D starve
+    # for points or fail its gates?).
+    num_depth_ok: jnp.ndarray
 
 
 def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_height=0.0) -> TrackState:

@@ -66,6 +66,7 @@ def _zero_outputs(B: int, dtype=jnp.float32) -> StepOutputs:
         epi_after=jnp.zeros(B, f),
         bridged=jnp.zeros(B, bool),
         recovered=jnp.zeros(B, bool),
+        num_depth_ok=jnp.zeros(B, jnp.int32),
     )
 
 
@@ -123,6 +124,7 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
         )
     )(st, frame, m, uv_kf, uv_cur, gated, k1)
     use_3d3d = res3.ok & jnp.asarray(config.rgbd)
+    n_depth_ok = jnp.sum(gated & d_ok, axis=-1).astype(jnp.int32)
 
     # ---- 4. Essential fallback + scale (rare on RGB-D; hoisted) ----
     need_e = ~use_3d3d
@@ -334,6 +336,7 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
         epi_after=epi_after,
         bridged=can_bridge,
         recovered=recovered,
+        num_depth_ok=n_depth_ok,
     )
     return st_out, out
 
