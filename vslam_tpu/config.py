@@ -92,6 +92,19 @@ class MotionConfig:
     r3d_inlier_thresh: float = 0.05
     r3d_max_translation: float = 0.2
     r3d_min_translation: float = 1e-4
+    # Gap-aware relaxation of the 0.2 m translation gate — the gate is
+    # applied to the KEYFRAME-relative translation (`src/Slam.cpp:360-371`
+    # matches against the last keyframe too), so at keyframe gaps >= 9
+    # any sequence moving ~24 mm/frame exceeds it with a perfectly good
+    # 3D-3D estimate and falls to the far-worse essential fallback
+    # (measured on the coupled bench: 171/895 essential frames at 0.26
+    # deg/frame rotation error vs 0.007 on 3D-3D, with ~175 depth-valid
+    # matches available — the gate, not point starvation, was the
+    # trigger). Effective cap = max(r3d_max_translation,
+    # gap * r3d_max_translation_per_frame); 0 disables (reference
+    # parity). 0.05 m/frame mirrors the EKF's own per-frame step clamp
+    # headroom (Config.h EKF_MAX_STEP 0.10).
+    r3d_max_translation_per_frame: float = 0.05
 
     # Monocular scale fallback (Config.h:129)
     motion_scale: float = 0.05

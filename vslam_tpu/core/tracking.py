@@ -207,6 +207,17 @@ def _motion_3d3d(state, frame, config, m, uv_kf, uv_cur, gated, key):
     p_kf = cam.backproject(uv_kf, depth_kf, fx, fy, cx, cy)
     p_cur = cam.backproject(uv_cur, depth_cur, fx, fy, cx, cy)
 
+    # Gap-aware translation cap (see MotionConfig
+    # .r3d_max_translation_per_frame): the gate is keyframe-relative, so
+    # it must grow with the keyframe gap or healthy fast motion falls to
+    # the essential fallback.
+    max_t = mc.r3d_max_translation
+    if mc.r3d_max_translation_per_frame > 0:
+        gap = (frame.frame_id - state.kf_frame_id).astype(p_kf.dtype)
+        max_t = jnp.maximum(
+            jnp.asarray(max_t, p_kf.dtype),
+            gap * mc.r3d_max_translation_per_frame,
+        )
     R3, t3, res3 = rs.ransac_kabsch_3d3d(
         key,
         p_kf,
@@ -214,7 +225,7 @@ def _motion_3d3d(state, frame, config, m, uv_kf, uv_cur, gated, key):
         valid3d,
         num_hypotheses=mc.r3d_iters,
         inlier_thresh=mc.r3d_inlier_thresh,
-        max_translation=mc.r3d_max_translation,
+        max_translation=max_t,
         min_translation=mc.r3d_min_translation,
         min_inliers=config.frontend.min_inliers,
     )
