@@ -163,17 +163,14 @@ def main():
         "weight_source": str(src).split("/")[-1],
         "frames": nC,
         "ate_raw": round(_ate(res.t), 4),
+        # Default smoothing = RTS + refine delta (EKFConfig
+        # .smooth_keep_refine); `ate_smoothed_plain` is the reference
+        # smoother (keep_refine=False) for comparison.
         "ate_smoothed": round(_ate(res.t_smoothed), 4),
-        # RTS + refine-delta variant: the snapshots the smoother consumes
-        # are taken at the EKF update, BEFORE local-map PnP refinement
-        # (reference order too: `Slam.cpp:1039-1046` vs `:1058-1059`), so
-        # plain RTS discards the refinement. Adding the per-frame delta
-        # (t_raw - x_filt) back keeps the refinement on top of the
-        # smoothed EKF component.
-        "ate_smoothed_delta": round(
+        "ate_smoothed_plain": round(
             _ate(
                 np.asarray(res.t_smoothed)
-                + (np.asarray(res.t) - np.asarray(res.outputs.x_filt)[:, :3])
+                - (np.asarray(res.t) - np.asarray(res.outputs.x_filt)[:, :3])
             ), 4,
         ),
         "ate_backend": (

@@ -488,3 +488,34 @@ def test_dense_fusion_frame_batching_exact():
     np.testing.assert_array_equal(
         np.asarray(a.cloud_rgb)[:n], np.asarray(b.cloud_rgb)[:n]
     )
+
+
+def test_smoother_keep_refine_variant():
+    """EKFConfig.smooth_keep_refine (default, NEW vs the reference):
+    smoothed positions keep the post-EKF refinement delta on top of the
+    RTS output; the two variants differ by exactly (t_raw - x_filt),
+    and the default must not be worse than the plain reference smoother
+    on a healthy run."""
+    cfg, seq = make_tiny_seq(num_frames=24)
+    frames = pipeline.features_from_synthetic(seq)
+    res_keep = pipeline.run_tracking(frames, cfg)
+    res_plain = pipeline.result_from_outputs(
+        res_keep.final_state, res_keep.outputs, keep_refine=False
+    )
+    delta = res_keep.t - np.asarray(res_keep.outputs.x_filt)[:, :3]
+    np.testing.assert_allclose(
+        res_keep.t_smoothed, res_plain.t_smoothed + delta, atol=1e-5
+    )
+    from vslam_tpu.eval import ate as ate_mod
+
+    a_keep = ate_mod.compute_ate(
+        res_keep.timestamps, res_keep.t_smoothed, seq.timestamps, seq.t,
+        with_scale=False,
+    )
+    a_plain = ate_mod.compute_ate(
+        res_plain.timestamps, res_plain.t_smoothed, seq.timestamps, seq.t,
+        with_scale=False,
+    )
+    assert a_keep.rmse <= a_plain.rmse * 1.05 + 1e-4, (
+        a_keep.rmse, a_plain.rmse,
+    )

@@ -218,6 +218,16 @@ class EKFConfig:
     stationary_accel_std: float = 0.15  # Slam.cpp:1621-1651
     stationary_window_s: float = 0.1
     stationary_kf_rot_drift: float = 0.25  # Slam.cpp:618-694
+    # RTS + refine delta — NEW vs the reference smoother
+    # (`src/Slam.cpp:1761-1810`): the EKF snapshots the smoother consumes
+    # are taken BEFORE local-map PnP refinement (reference order too,
+    # `Slam.cpp:1039-1046` vs `:1058-1059`), so plain RTS silently
+    # DISCARDS the refinement when it overwrites positions. Keeping the
+    # per-frame refine delta on top (t_rts + (t_raw - x_filt)) was >= the
+    # plain smoother on every measured run (healthy 128f: 0.0169 ->
+    # 0.0125; drifted 896f: 0.2104 -> 0.2103; healthy 896f: 0.0299 ->
+    # 0.0281). False restores the reference smoother output.
+    smooth_keep_refine: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,11 +96,21 @@ def _scan_sequence(state: TrackState, frames: FrameFeatures, config: SlamConfig,
     return jax.lax.scan(step, state, frames)
 
 
-def result_from_outputs(final_state: TrackState, outs, smooth: bool = True) -> RunResult:
+def result_from_outputs(
+    final_state: TrackState, outs, smooth: bool = True,
+    keep_refine: bool = True,
+) -> RunResult:
     """Package scan outputs as a RunResult, applying the RTS backward
     smoother over the carried EKF snapshots (the reference always smooths
     before evaluating, `src/main.cpp:1311` -> `src/Slam.cpp:1761-1810`).
-    Shared by the tracking-only runner and the coupled pixels-in program."""
+    Shared by the tracking-only runner and the coupled pixels-in program.
+
+    `keep_refine` (EKFConfig.smooth_keep_refine semantics, NEW vs the
+    reference): the snapshots are taken at the EKF update, BEFORE
+    local-map PnP refinement — plain RTS therefore discards the
+    refinement when its positions overwrite the poses. Adding the
+    per-frame delta (t_raw - x_filt) back keeps it on top of the
+    smoothed EKF component; False reproduces the reference smoother."""
     t_raw = np.asarray(outs.t)
     if smooth:
         snaps = ekf_ops.EKFSnapshot(
@@ -115,6 +125,8 @@ def result_from_outputs(final_state: TrackState, outs, smooth: bool = True) -> R
         t_smooth = np.asarray(
             jax.jit(ekf_ops.rts_smooth)(snaps, valid)
         )
+        if keep_refine:
+            t_smooth = t_smooth + (t_raw - np.asarray(outs.x_filt)[:, :3])
     else:
         t_smooth = t_raw
 
@@ -141,7 +153,10 @@ def run_tracking(
     if state is None:
         state = init_state(config, gravity=gravity, initial_height=initial_height)
     final_state, outs = _scan_sequence(state, frames, config, seed)
-    return result_from_outputs(final_state, outs, smooth=smooth)
+    return result_from_outputs(
+        final_state, outs, smooth=smooth,
+        keep_refine=config.ekf.smooth_keep_refine,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
