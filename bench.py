@@ -51,9 +51,15 @@ def _note(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def _timed(fn, readback, iters=TIMED_ITERS, warmup=WARMUP_ITERS):
+def _timed(fn, readback, iters=None, warmup=WARMUP_ITERS):
     """Run fn() (returning a chain value) warmup+iters times; readback(x)
-    forces completion. Returns list of per-iteration seconds."""
+    forces completion. Returns list of per-iteration seconds.
+
+    iters=None reads the (possibly --iters-overridden) module global at
+    call time — a default bound at import would pin stage timings to 5
+    samples while the e2e aggregation loops range(TIMED_ITERS)."""
+    if iters is None:
+        iters = TIMED_ITERS
     for _ in range(warmup):
         readback(fn())
     times = []
@@ -362,7 +368,9 @@ def main():
             (`src/main.cpp:1311`), so `smoothed` is the parity metric;
             `backend` adds the gain-gated PGO/BA pass the headline clock
             already pays for."""
-            res = pipeline.result_from_outputs(st_f, outs)
+            res = pipeline.result_from_outputs(
+                st_f, outs, keep_refine=cfg.ekf.smooth_keep_refine
+            )
             res_b = pipeline.run_backend(res, cfg)
 
             def _ate(t_est):
@@ -505,8 +513,11 @@ def main():
                     "error": type(e).__name__ + ": " + str(e)[:160]
                 }
             finally:
-                # Release device buffers before the next (bigger) B.
+                # Release device buffers before the next (bigger) B —
+                # including _mc_args, which otherwise keeps every stack
+                # alive through the next B's allocation (doubling peak HBM).
                 grayB = depB = tsB = fidB = statB = stsB = dnB = None  # noqa: F841
+                _mc_args = None  # noqa: F841
 
     # ---------------- Batched multi-sequence tracking ----------------
     _note("batched multi-sequence tracking")

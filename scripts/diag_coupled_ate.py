@@ -92,7 +92,9 @@ def main():
         params, st0, dn0, gray1, dep1, None, tsc1, fid1, stat1, cfg
     )
 
-    res = pipeline.result_from_outputs(stf, outs)
+    res = pipeline.result_from_outputs(
+        stf, outs, keep_refine=cfg.ekf.smooth_keep_refine
+    )
     t_gt = d0["t"]
     ts_gt = d0["timestamps"]
 

@@ -342,6 +342,47 @@ def test_map_saturation_eviction_policy():
     assert np.asarray(store2.valid).all()
 
 
+def test_map_saturation_eviction_respects_protect_mask():
+    """Slots in the `protect` mask are never evicted: the keyframe step
+    protects the points the current frame observes so its keypoint->slot
+    associations (reprojection cull, periodic PnP) never dangle onto an
+    evicted-and-refilled slot."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.core.state import MapStore
+    from vslam_tpu.core.tracking import _masked_free_slot_insert
+
+    M, K, D = 8, 4, 4
+    store = MapStore(
+        pos=jnp.arange(M * 3, dtype=jnp.float32).reshape(M, 3),
+        desc=jnp.ones((M, D), jnp.float32),
+        valid=jnp.ones(M, bool),
+        visible=jnp.full(M, 10, jnp.int32),
+        found=jnp.arange(1, M + 1, dtype=jnp.int32),  # slot 0 weakest
+        first_kf=jnp.zeros(M, jnp.int32),
+        num_obs=jnp.ones(M, jnp.int32),
+    )
+    new_pos = jnp.full((K, 3), 99.0, jnp.float32)
+    new_desc = jnp.zeros((K, D), jnp.float32)
+    new_valid = jnp.asarray([True, True, False, False])
+    # Unprotected: the two weakest (0, 1) are evicted.
+    _, slots = _masked_free_slot_insert(
+        store, new_pos, new_desc, new_valid, jnp.asarray(5, jnp.int32)
+    )
+    assert set(np.asarray(slots)[:2].tolist()) == {0, 1}
+    # Protecting 0 and 1 shifts eviction to the next-weakest (2, 3).
+    prot = jnp.zeros(M, bool).at[jnp.asarray([0, 1])].set(True)
+    store3, slots3 = _masked_free_slot_insert(
+        store, new_pos, new_desc, new_valid, jnp.asarray(5, jnp.int32),
+        protect=prot,
+    )
+    assert set(np.asarray(slots3)[:2].tolist()) == {2, 3}
+    np.testing.assert_array_equal(
+        np.asarray(store3.pos)[:2], np.asarray(store.pos)[:2]
+    )
+    assert bool(np.asarray(store3.valid).all())
+
+
 def test_map_saturation_tracking_survives():
     """Drive a sequence with a map capacity small enough to saturate
     within the first keyframes: tracking must survive and stay accurate

@@ -103,3 +103,14 @@ def test_profiling_utils():
     assert len(rows) == 2 and rows[1]["matches"] == 20
     s = profiling.summarize_run(FakeOuts())
     assert s["keyframes"] == 1
+
+    class FakeOutsEpi(FakeOuts):
+        # F-gate ran only on frame 1: the 0.0 placeholder (gate off /
+        # no model / bootstrap) must not dilute the reported means.
+        epi_before = np.array([0.0, 2.0])
+        epi_after = np.array([0.0, 0.5])
+
+    s2 = profiling.summarize_run(FakeOutsEpi())
+    assert s2["fgate_frames"] == 1
+    assert s2["epi_before_mean_px"] == 2.0
+    assert s2["epi_after_mean_px"] == 0.5

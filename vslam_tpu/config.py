@@ -62,6 +62,10 @@ class FrontendConfig:
     # Matching (Config.h:53-58)
     l2_ratio_threshold: float = 0.75
     flann_ratio_threshold: float = 0.7
+    # Absolute L2 distance gate on the best match (0 = off). The reference
+    # applies it only on the ORB/Hamming path (DISTANCE_THRESHOLD=30 bits,
+    # Config.h:54); orb_parity_config sets the L2 equivalent.
+    l2_max_distance: float = 0.0
     min_matches: int = 30
     min_inliers: int = 15
     mutual_check: bool = True

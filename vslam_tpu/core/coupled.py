@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from vslam_tpu.config import SlamConfig
+from vslam_tpu.core import frontend as frontend_mod
 from vslam_tpu.core.state import FrameFeatures, TrackState
 from vslam_tpu.core.tracking import make_scan_step
 from vslam_tpu.core.tracking_batched import make_batched_scan_step
@@ -58,11 +59,9 @@ def _frontend_chunk(params, model, gray_u8, config: SlamConfig):
 
 
 def _kp_depth(depth_m, kp_xy, config: SlamConfig):
-    """Nearest-pixel keypoint depth (`src/Slam.cpp:243-246`), batched."""
-    B, H, W = depth_m.shape
-    u = jnp.clip(jnp.round(kp_xy[..., 0]).astype(jnp.int32), 0, W - 1)
-    v = jnp.clip(jnp.round(kp_xy[..., 1]).astype(jnp.int32), 0, H - 1)
-    return jax.vmap(lambda d, vv, uu: d[vv, uu])(depth_m, v, u)
+    """Nearest-pixel keypoint depth (`src/Slam.cpp:243-246`), batched.
+    Single implementation lives in `frontend.sample_depth_at_keypoints`."""
+    return frontend_mod.sample_depth_at_keypoints(depth_m, kp_xy)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "seed"))

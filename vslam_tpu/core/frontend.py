@@ -120,8 +120,9 @@ def orb_parity_config(config: SlamConfig) -> SlamConfig:
     """Config adjusted to the reference's ORB-fallback run semantics
     (`include/Config.h:48-56`): 3000-keypoint capacity and L2 equivalents
     of the BF-Hamming gates. For +-1/sqrt(D) unit descriptors,
-    L2^2 = 4*Hamming/D, so DISTANCE_THRESHOLD=30 bits -> L2 ~ 0.68 and
-    HAMMING_RATIO_THRESHOLD=0.8 on Hamming counts -> sqrt(0.8) on L2."""
+    L2^2 = 4*Hamming/D, so DISTANCE_THRESHOLD=30 bits -> L2 =
+    2*sqrt(30/D) (~0.68 at D=256) and HAMMING_RATIO_THRESHOLD=0.8 on
+    Hamming counts -> sqrt(0.8) on L2."""
     import dataclasses
     import math
 
@@ -131,6 +132,8 @@ def orb_parity_config(config: SlamConfig) -> SlamConfig:
             fc,
             max_keypoints=fc.orb_max_keypoints,
             l2_ratio_threshold=math.sqrt(fc.orb_ratio_threshold),
+            l2_max_distance=2.0
+            * math.sqrt(fc.orb_distance_threshold / fc.descriptor_dim),
         )
     )
 

@@ -65,7 +65,9 @@ def _single_view_scale(R_rel, t_rel, p_kf, xn_cur, valid):
     return jnp.where(n >= 3, med, -1.0), n
 
 
-def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, kf_id):
+def _masked_free_slot_insert(
+    map_store: MapStore, new_pos, new_desc, new_valid, kf_id, protect=None
+):
     """Insert up to K new points into map slots (static-shape compaction:
     the reference simply push_backs into an unbounded vector,
     `src/Map.cpp:20-30`).
@@ -76,8 +78,11 @@ def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, 
     `src/Slam.cpp:1111-1126`) — are evicted to make room, so a bounded
     map keeps the unbounded-growth semantics of always accepting new
     observations. Young points (< 3 KFs old, ratio still noisy) are never
-    evicted; if free + evictable slots run out, the remaining new points
-    are dropped.
+    evicted, nor are slots in the optional `protect` (M,) mask — the
+    keyframe step protects the points the CURRENT frame observes, so the
+    step's keypoint->slot associations (reprojection cull, periodic PnP)
+    never dangle onto an evicted-and-refilled slot. If free + evictable
+    slots run out, the remaining new points are dropped.
 
     Returns (map_store, slot_of_new (K,) int32 with -1 for not-inserted).
     """
@@ -100,6 +105,8 @@ def _masked_free_slot_insert(map_store: MapStore, new_pos, new_desc, new_valid, 
     dest_key = jnp.where(
         free, 0.0, jnp.where(age >= 3, 1.0 + ratio, PROT)
     )
+    if protect is not None:
+        dest_key = jnp.where(free, dest_key, jnp.where(protect, PROT, dest_key))
     dest_order = jnp.argsort(dest_key, stable=True).astype(jnp.int32)
     dest_rank = (
         jnp.zeros(M, jnp.int32).at[dest_order].set(jnp.arange(M, dtype=jnp.int32))
@@ -152,6 +159,7 @@ def _match_to_keyframe(state: TrackState, frame: FrameFeatures, config: SlamConf
         frame.valid,
         ratio=config.frontend.l2_ratio_threshold,
         mutual=config.frontend.mutual_check,
+        max_dist=config.frontend.l2_max_distance or None,
     )
     uv_kf = state.kf_xy
     uv_cur = frame.xy[m.idx]
@@ -507,10 +515,14 @@ def _periodic_pnp(st: TrackState, frame, config, R_new, t_new, mp_idx, kp_ok, ke
     return R_out, t_out
 
 
-def _make_keyframe(state: TrackState, frame, config, R_new, t_new, m, gated):
+def _make_keyframe(
+    state: TrackState, frame, config, R_new, t_new, m, gated, protect=None
+):
     """Keyframe creation (`src/Slam.cpp:699-725, 1246-1356, 1526-1577`):
     triangulate gated matches (with Kinect-depth override), back-project
-    unmatched keypoints with depth, insert as map points, push to ring."""
+    unmatched keypoints with depth, insert as map points, push to ring.
+    `protect` (M,) marks map slots that must not be evicted (the caller's
+    live keypoint->slot associations)."""
     fx, fy, cx, cy = _intr(config)
     mc = config.map
     K = frame.xy.shape[0]
@@ -560,7 +572,9 @@ def _make_keyframe(state: TrackState, frame, config, R_new, t_new, m, gated):
     all_pos = jnp.concatenate([X_new, X_bp2], axis=0)
     all_desc = jnp.concatenate([desc_new, frame.desc], axis=0)
     all_ok = jnp.concatenate([pt_ok, bp_ok], axis=0)
-    map2, _ = _masked_free_slot_insert(state.map, all_pos, all_desc, all_ok, state.kf_count)
+    map2, _ = _masked_free_slot_insert(
+        state.map, all_pos, all_desc, all_ok, state.kf_count, protect=protect
+    )
 
     # --- Push to keyframe ring ---
     slot = jnp.mod(state.kf_count, state.keyframes.valid.shape[0])
@@ -963,7 +977,17 @@ def tracking_step(
         is_kf = is_kf_normal | is_kf_rot | is_kf_post
 
         def kf_branch(s):
-            s2 = _make_keyframe(s, frame, config, R_kfp, t_kfp, m, gated)
+            # Protect this frame's observed map points from eviction so
+            # mp_idx/kp_ok stay valid through the cull + periodic PnP below.
+            M = s.map.valid.shape[0]
+            protect = (
+                jnp.zeros(M, dtype=bool)
+                .at[jnp.where(kp_ok, mp_idx, M)]
+                .set(True, mode="drop")
+            )
+            s2 = _make_keyframe(
+                s, frame, config, R_kfp, t_kfp, m, gated, protect=protect
+            )
             # Reprojection cull at EVERY keyframe (`src/Slam.cpp:724,
             # 473-500`), on this frame's observed map-point associations.
             s2 = s2._replace(

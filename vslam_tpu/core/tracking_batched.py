@@ -232,7 +232,15 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
     # ---- 9. Keyframe creation + reprojection cull (frequent-ish; hoisted) --
     def do_kf(st0):
         def one(s, f, R, t, mm, g, mi, ko):
-            s2 = T._make_keyframe(s, f, config, R, t, mm, g)
+            # Protect observed slots from eviction (see T._make_keyframe):
+            # mi/ko are also consumed by the periodic PnP in step 10.
+            M = s.map.valid.shape[0]
+            protect = (
+                jnp.zeros(M, dtype=bool)
+                .at[jnp.where(ko, mi, M)]
+                .set(True, mode="drop")
+            )
+            s2 = T._make_keyframe(s, f, config, R, t, mm, g, protect=protect)
             s2 = s2._replace(
                 map=T._reproject_cull(s2.map, f, config, R, t, mi, ko)
             )

@@ -116,14 +116,25 @@ def summarize_run(outputs) -> dict:
     }
     # Branch-execution counts + epipolar diagnostics (fields added round 3;
     # getattr so pre-existing FakeOuts-style stubs keep working).
-    for name, red in (
-        ("bridged", "sum"), ("recovered", "sum"),
-        ("epi_before", "mean"), ("epi_after", "mean"),
-    ):
+    for name in ("bridged", "recovered"):
         v = getattr(o, name, None)
         if v is not None:
-            arr = np.asarray(v)
-            out[name + ("_count" if red == "sum" else "_mean_px")] = (
-                int(arr.sum()) if red == "sum" else float(arr.mean())
-            )
+            out[name + "_count"] = int(np.asarray(v).sum())
+    # Epipolar means average only frames where the F-gate actually RAN
+    # (epi_before > 0): frames with the gate off / no model / bootstrap
+    # emit 0.0 placeholders that would dilute the HUD-parity diagnostic
+    # (`src/Slam.cpp:889-904` computes the mean over gated frames only).
+    eb = getattr(o, "epi_before", None)
+    ea = getattr(o, "epi_after", None)
+    if eb is not None and ea is not None:
+        eb = np.asarray(eb)
+        ea = np.asarray(ea)
+        ran = eb > 0
+        out["fgate_frames"] = int(ran.sum())
+        out["epi_before_mean_px"] = (
+            float(eb[ran].mean()) if ran.any() else 0.0
+        )
+        out["epi_after_mean_px"] = (
+            float(ea[ran].mean()) if ran.any() else 0.0
+        )
     return out

@@ -130,7 +130,13 @@ def export_run(result, out_path, seq=None, dense=None, gt_trajectory=None,
     st = result.final_state
     kf_valid = np.asarray(st.keyframes.valid)
     N = result.t.shape[0]
-    hud = [hud_text(result.outputs, i) for i in range(N)]
+    # Materialize StepOutputs to host numpy ONCE: hud_text reads ~10
+    # fields per frame, and on device arrays that would be ~10*N separate
+    # relay readbacks (minutes of RTT on axon for an 848-frame run).
+    outs_np = type(result.outputs)(
+        *(np.asarray(leaf) for leaf in result.outputs)
+    )
+    hud = [hud_text(outs_np, i) for i in range(N)]
     if gt_trajectory is None and seq is not None:
         gt_trajectory = seq.t
     return export_web_viewer(
