@@ -31,6 +31,8 @@ def main():
                     help="run on the TPU backend (default: force CPU)")
     ap.add_argument("--render", action="store_true", help="render viewer frames")
     ap.add_argument("--mono", action="store_true", help="monocular mode")
+    ap.add_argument("--poisson", action="store_true",
+                    help="Poisson mesh the dense cloud at the end")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +63,8 @@ def main():
         argv.append("--render")
     if args.mono:
         argv.append("--mono")
+    if args.poisson:
+        argv.append("--poisson")
     print(f"[run_synthetic] run_tum {' '.join(argv)}")
     sys.argv = ["run_tum.py"] + argv
     run_tum.main()

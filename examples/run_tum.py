@@ -38,7 +38,9 @@ def main():
                     "(activates the reference's latent DepthEstimator, C7)")
     ap.add_argument("--frame-step", type=int, default=3)
     ap.add_argument("--cache", default=None, help="feature cache path (.npz or SPCF .bin)")
-    ap.add_argument("--poisson", action="store_true", help="run external PoissonRecon if available")
+    ap.add_argument("--poisson", action="store_true",
+                    help="Poisson mesh the dense cloud (external PoissonRecon "
+                    "when present, else the native ops/poisson solver)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--render", action="store_true", help="render viewer frames")
@@ -284,24 +286,60 @@ def main():
 
 
 def _run_poisson(ply_path, out_dir):
-    """Optional external Poisson meshing (`src/main.cpp:1406-1458` shells
-    out to PoissonRecon + SurfaceTrimmer); gated on binary presence."""
+    """Poisson meshing (`src/main.cpp:1406-1458` shells out to
+    PoissonRecon + SurfaceTrimmer). When the external binaries exist they
+    are used for bit-parity with the reference; otherwise the in-framework
+    TPU-native solver (`ops/poisson.py`: FFT Poisson solve + marching
+    tetrahedra + density trim) produces the same two artifacts
+    (poisson_mesh.ply, poisson_trimmed.ply)."""
     import shutil
     import subprocess
 
     exe = shutil.which("PoissonRecon")
-    if exe is None:
-        print("[poisson] PoissonRecon binary not found; skipping")
-        return
     mesh = os.path.join(out_dir, "poisson_mesh.ply")
-    subprocess.run([exe, "--in", ply_path, "--out", mesh, "--depth", "9"], check=False)
-    trim = shutil.which("SurfaceTrimmer")
-    if trim and os.path.exists(mesh):
+    if exe is not None:
         subprocess.run(
-            [trim, "--in", mesh, "--out",
-             os.path.join(out_dir, "poisson_trimmed.ply"), "--trim", "7"],
-            check=False,
+            [exe, "--in", ply_path, "--out", mesh, "--depth", "9"], check=False
         )
+        trim = shutil.which("SurfaceTrimmer")
+        if trim and os.path.exists(mesh):
+            subprocess.run(
+                [trim, "--in", mesh, "--out",
+                 os.path.join(out_dir, "poisson_trimmed.ply"), "--trim", "7"],
+                check=False,
+            )
+        return
+
+    print("[poisson] PoissonRecon binary not found; using native solver")
+    import jax.numpy as jnp
+
+    from vslam_tpu.io import ply
+    from vslam_tpu.ops import pointcloud as pc
+    from vslam_tpu.ops import poisson as native_poisson
+
+    cloud = ply.load_ply(ply_path)
+    pts = cloud["points"]
+    if len(pts) < 32:
+        print("[poisson] too few points; skipping")
+        return
+    if len(pts) > 200_000:  # brute-force kNN normals: cap the input cloud
+        sel = np.random.default_rng(0).choice(len(pts), 200_000, replace=False)
+        pts = pts[sel]
+    pj = jnp.asarray(pts)
+    vj = jnp.ones(len(pts), bool)
+    normals = pc.estimate_normals(
+        pj, vj, k=min(16, len(pts) - 1), viewpoint=jnp.asarray(pts.mean(0))
+    )
+    verts_u, faces_u = native_poisson.poisson_mesh(
+        pts, np.asarray(normals), resolution=128, trim_frac=0.0
+    )
+    ply.save_ply(mesh, verts_u, faces=faces_u)
+    verts_t, faces_t = native_poisson.poisson_mesh(
+        pts, np.asarray(normals), resolution=128, trim_frac=0.08
+    )
+    ply.save_ply(os.path.join(out_dir, "poisson_trimmed.ply"), verts_t, faces=faces_t)
+    print(f"[poisson] native mesh: {len(verts_u)} verts / {len(faces_u)} faces; "
+          f"trimmed: {len(verts_t)} verts / {len(faces_t)} faces")
 
 
 if __name__ == "__main__":
