@@ -206,6 +206,16 @@ class LoopClosureConfig:
     min_jump: float = 0.01
     nearby_frame_range: int = 30
     kf_stride: int = 5  # LoopCloser.cpp:43-48: every 5th candidate KF
+    # Two-stage constraint polish (delta from `src/Slam.cpp:778-797`,
+    # which takes solvePnPRansac's 8 px-gated pose as the constraint
+    # directly): re-select correspondences at a tight pixel threshold
+    # against the RANSAC pose, then Huber-GN with a small delta. The
+    # constraint feeds PGO at sigma_t=0.03 m (Config.h:134); at VGA-scale
+    # focals the 8 px gate admits map points with tens-of-cm lateral
+    # slack, which dominates that budget. refine_threshold_px=0 disables.
+    refine_threshold_px: float = 2.0
+    refine_huber_px: float = 1.0
+    refine_gn_iters: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

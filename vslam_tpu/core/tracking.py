@@ -733,7 +733,30 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
         threshold_px=config.pnp.ransac_threshold_px,
         min_inliers=config.pnp.min_points,
     )
-    jump = jnp.linalg.norm(pnp_res.t - t_new)
+    # Two-stage tightened polish of the constraint pose (delta from
+    # `src/Slam.cpp:778-782`, which measures the constraint straight off
+    # the 8 px-gated solvePnPRansac pose): re-select correspondences at
+    # loop.refine_threshold_px against the RANSAC pose and Huber-GN with
+    # a small delta, so the PGO edge (sigma_t=0.03 m, Config.h:134) is
+    # measured from sub-pixel-consistent map points only. Falls back to
+    # the RANSAC pose when too few tight correspondences survive.
+    R_cw, t_cw = se3.inverse(pnp_res.R, pnp_res.t)
+    if lc.refine_threshold_px > 0.0:
+        p_c = se3.transform_points(R_cw, t_cw, X)
+        uv_hat, front = cam.project(p_c, fx, fy, cx, cy)
+        t_err_px = jnp.linalg.norm(uv_hat - frame.xy, axis=-1)
+        tight = (t_err_px < lc.refine_threshold_px) & front & mres.valid
+        n_tight = jnp.sum(tight)
+        R_cw2, t_cw2 = pnp_ops.gn_refine_pose(
+            R_cw, t_cw, X, frame.xy, tight.astype(X.dtype), fx, fy, cx, cy,
+            iters=lc.refine_gn_iters, huber_px=lc.refine_huber_px,
+        )
+        use_tight = n_tight >= config.pnp.min_points
+        R_cw = jnp.where(use_tight, R_cw2, R_cw)
+        t_cw = jnp.where(use_tight, t_cw2, t_cw)
+    R_pnp, t_pnp = se3.inverse(R_cw, t_cw)
+
+    jump = jnp.linalg.norm(t_pnp - t_new)
     accept = (
         enough
         & eres.ok
@@ -744,7 +767,7 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     )
 
     # Constraint: relative pose between matched KF and PnP-verified pose.
-    R_rel, t_rel = se3.relative(kfs.R[best_kf], kfs.t[best_kf], pnp_res.R, pnp_res.t)
+    R_rel, t_rel = se3.relative(kfs.R[best_kf], kfs.t[best_kf], R_pnp, t_pnp)
     loops = st.loops
     cursor = jnp.sum(loops.valid)
     L = loops.valid.shape[0]
