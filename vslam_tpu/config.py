@@ -270,11 +270,18 @@ class OptimizerConfig:
     # reprojection information): points resist being dragged to chase
     # drifted poses — the overfit mode that made the reference ship
     # local BA disabled (Config.h:98-99). With it, BA can safely fire
-    # below the old 4 px^2 significance threshold — 0.25 px^2 stays
-    # above the matched-pixel noise floor of a healthy oracle run
-    # (~0.1 px^2), keeping the backend a bit-exact identity there.
+    # below the old 4 px^2 significance threshold. Significance MAY
+    # still open on a healthy run (the 848-frame oracle measures
+    # ~1 px^2/obs through the tight 4 px re-association); identity is
+    # then enforced by the improvement conditions of the accept gate,
+    # and `ba_converge_rtol` keeps the price of that probe at ~2 LM
+    # iterations instead of the full budget.
     ba_point_prior_weight: float = 1000.0
     ba_chain_min_cost_per_obs: float = 0.25
+    # Convergence early-exit for the backend LM loops: stop after two
+    # consecutive iterations improving the cost by < rtol relative.
+    # 0.0 = fixed iteration count (exact round-2 behavior).
+    ba_converge_rtol: float = 1e-4
     # BA re-associates observations by projecting map points into each
     # keyframe and radius-matching descriptors. The tracker's loose
     # 12 px search radius is right for FINDING points under pose error,

@@ -207,8 +207,6 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
         height_info=jnp.asarray(1.0 / oc.pgo_height_sigma**2, jnp.float32),
         height_on=st.has_height,
     )
-    R_opt, t_opt = pgo.optimize(prob, iterations=oc.pgo_iterations)
-
     # Gain gate (two conditions; see OptimizerConfig):
     # 1. SIGNIFICANCE — the loop/height constraints must be violated well
     #    beyond their sigmas (chi^2 per dof). Odometry edges are built
@@ -218,14 +216,24 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
     #    skipped outright.
     # 2. IMPROVEMENT — the optimized poses must strictly reduce the total
     #    constraint chi^2 (divergence guard).
+    # Significance depends only on the INPUT poses, so it gates the GN
+    # solve itself (lax.cond): a rejected-anyway solve is pure cost —
+    # `pgo.optimize` is `pgo_iterations` jacrev + dense-Cholesky rounds.
     chi2_before = pgo.total_chi2(prob, kfs.R, kfs.t)
-    chi2_after = pgo.total_chi2(prob, R_opt, t_opt)
     n_height = jnp.sum(kfs.valid) * st.has_height
     dof = 6 * jnp.sum(l_fresh) + n_height
     significant = chi2_before > oc.pgo_min_chi2_per_dof * jnp.maximum(dof, 1)
-    accept = significant & (chi2_after < chi2_before * (1.0 - 1e-5))
-    R_opt = jnp.where(accept, R_opt, kfs.R)
-    t_opt = jnp.where(accept, t_opt, kfs.t)
+
+    def _pgo_opt(_):
+        R_opt, t_opt = pgo.optimize(prob, iterations=oc.pgo_iterations)
+        chi2_after = pgo.total_chi2(prob, R_opt, t_opt)
+        acc = chi2_after < chi2_before * (1.0 - 1e-5)
+        return jnp.where(acc, R_opt, kfs.R), jnp.where(acc, t_opt, kfs.t)
+
+    def _pgo_noop(_):
+        return kfs.R, kfs.t
+
+    R_opt, t_opt = jax.lax.cond(significant, _pgo_opt, _pgo_noop, None)
 
     frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
     _, t_corr = pgo.correct_trajectory(
@@ -414,19 +422,31 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         fx=jnp.asarray(c.fx), fy=jnp.asarray(c.fy),
         cx=jnp.asarray(c.cx), cy=jnp.asarray(c.cy),
     )
-    R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
-        prob, iterations=iterations, huber_px=oc.ba_huber_px,
-        gate2_px=oc.ba_gate_px,
-        point_prior_weight=oc.ba_point_prior_weight,
-        odo_trans_sigma=oc.ba_odom_trans_sigma,
-        odo_rot_sigma=oc.ba_odom_rot_sigma,
-    )
-    # Gain gate (same parameters as the fused backend, so the two paths
-    # stay equivalent).
-    accept = ba_ops.ba_accept_window(
-        prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-        min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
-    )
+    # Significance pre-gate (same condition and parameters as the fused
+    # backend, so the two paths stay equivalent): skip the LM solve when
+    # the accept gate below could only reject it. One scalar readback.
+    if bool(
+        ba_ops.ba_significant_jit(
+            prob, oc.ba_huber_px, oc.ba_chain_min_cost_per_obs
+        )
+    ):
+        R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
+            prob, iterations=iterations, huber_px=oc.ba_huber_px,
+            gate2_px=oc.ba_gate_px,
+            point_prior_weight=oc.ba_point_prior_weight,
+            odo_trans_sigma=oc.ba_odom_trans_sigma,
+            odo_rot_sigma=oc.ba_odom_rot_sigma,
+            rtol=oc.ba_converge_rtol,
+        )
+        # Gain gate (same parameters as the fused backend, so the two
+        # paths stay equivalent).
+        accept = ba_ops.ba_accept_window(
+            prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
+            min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
+        )
+    else:
+        R_opt, t_opt, X_opt = prob.R, prob.t, prob.X
+        accept = jnp.asarray(False)
     R_opt = jnp.where(accept, R_opt, prob.R)
     t_opt = jnp.where(accept, t_opt, prob.t)
     X_opt = jnp.where(accept, X_opt, prob.X)
@@ -533,16 +553,37 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
             cx=jnp.asarray(config.camera.cx),
             cy=jnp.asarray(config.camera.cy),
         )
-        R_opt, t_opt, X_opt, _ = ba_ops.bundle_adjust_robust(
-            prob, iterations=oc.ba_global_iterations,
-            huber_px=oc.ba_huber_px, gate2_px=oc.ba_gate_px,
-            point_prior_weight=oc.ba_point_prior_weight,
-            odo_trans_sigma=oc.ba_odom_trans_sigma,
-            odo_rot_sigma=oc.ba_odom_rot_sigma,
-        )
-        accept = ba_ops.ba_accept_window(
-            prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
+        # Significance pre-gate: the accept gate below rejects any
+        # solution of a window already at the pixel-noise floor, so the
+        # 2-phase LM (ba_global_iterations + re-gated polish of Schur
+        # solves) is skipped outright when it cannot be accepted —
+        # output-identical, and on a healthy run the backend collapses
+        # to the problem build + one residual pass.
+        sig = ba_ops.ba_significant(
+            prob, huber_px=oc.ba_huber_px,
             min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
+        )
+
+        def _ba_opt(_):
+            R_o, t_o, X_o, _ = ba_ops.bundle_adjust_robust(
+                prob, iterations=oc.ba_global_iterations,
+                huber_px=oc.ba_huber_px, gate2_px=oc.ba_gate_px,
+                point_prior_weight=oc.ba_point_prior_weight,
+                odo_trans_sigma=oc.ba_odom_trans_sigma,
+                odo_rot_sigma=oc.ba_odom_rot_sigma,
+                rtol=oc.ba_converge_rtol,
+            )
+            acc = ba_ops.ba_accept_window(
+                prob, R_o, t_o, X_o, huber_px=oc.ba_huber_px,
+                min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
+            )
+            return R_o, t_o, X_o, acc
+
+        def _ba_noop(_):
+            return prob.R, prob.t, prob.X, jnp.asarray(False)
+
+        R_opt, t_opt, X_opt, accept = jax.lax.cond(
+            sig, _ba_opt, _ba_noop, None
         )
         # Per-KF jump gate (Config.h:100) + padding guard.
         jump = jnp.linalg.norm(t_opt - prob.t, axis=-1)

@@ -258,13 +258,22 @@ def _schur_solve(J_pose, J_point, r, w, pose_valid, point_valid, lam, fix_first_
     return delta_pose, delta_point
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "rtol"))
 def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
                   init_lambda: float = 1e-3, fix_first_n=1,
                   pose_prior_weight: float = 30.0,
                   point_prior_weight: float = 0.0,
-                  odo_trans_sigma=None, odo_rot_sigma=None):
+                  odo_trans_sigma=None, odo_rot_sigma=None,
+                  rtol: float = 0.0):
     """LM loop with accept/reject damping (`Optimizer.cpp:408-570`).
+
+    `rtol > 0` enables convergence-based early exit: the loop stops after
+    two consecutive iterations that fail to improve the cost by a
+    relative `rtol` (a single LM reject can recover at higher damping, so
+    one stall is not convergence). A problem already at its optimum —
+    the healthy-run case, where the accept gate will reject the result
+    anyway — exits in 2 iterations instead of paying all `iterations`
+    Schur solves. `rtol == 0.0` keeps the exact fixed-count loop.
 
     Returns (R, t, X, final_cost)."""
     dtype = prob.R.dtype
@@ -358,7 +367,25 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
 
     _, _, cost0, _, _ = eval_cost(prob.R, prob.t, prob.X)
     init = (prob.R, prob.t, prob.X, jnp.asarray(init_lambda, dtype), cost0)
-    R, t, X, _, cost = jax.lax.fori_loop(0, iterations, body, init)
+    if rtol == 0.0:
+        R, t, X, _, cost = jax.lax.fori_loop(0, iterations, body, init)
+    else:
+        def wcond(carry):
+            _, i, stall = carry
+            return (i < iterations) & (stall < 2)
+
+        def wbody(carry):
+            state, i, stall = carry
+            cost_prev = state[4]
+            state2 = body(i, state)
+            improved = state2[4] < cost_prev * (1.0 - rtol)
+            stall2 = jnp.where(improved, 0, stall + 1)
+            return (state2, i + 1, stall2)
+
+        (R, t, X, _, cost), _, _ = jax.lax.while_loop(
+            wcond, wbody,
+            (init, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+        )
     return R, t, X, cost
 
 
@@ -375,6 +402,32 @@ def window_cost(prob: BAProblem, R, t, X, huber_px: float = 5.0):
     r, _, _ = _project_residuals(R, t, X, prob._replace(R=R, t=t, X=X))
     w = _huber_weights(r, mask, huber_px)
     return _cost(r, w)
+
+
+def ba_significant(prob: BAProblem, huber_px: float = 5.0,
+                   min_cost_per_obs: float = 4.0):
+    """Condition 1 of `ba_accept_window` alone: is the window's INITIAL
+    Huber reprojection cost significantly above the pixel-noise floor?
+
+    Evaluating this BEFORE `bundle_adjust_robust` lets callers skip the
+    whole LM solve when the answer is no — the accept gate would reject
+    the solution anyway (significance is a conjunct), so pre-gating is
+    output-identical and saves the dominant backend cost on healthy runs
+    (measured: 0.75 s -> the problem-build + one residual pass).
+    Returns a scalar bool."""
+    c0 = window_cost(prob, prob.R, prob.t, prob.X, huber_px=huber_px)
+    n_obs = jnp.maximum(
+        jnp.sum(
+            prob.obs_valid & prob.pose_valid[:, None] & prob.point_valid[None, :]
+        ),
+        1,
+    )
+    return c0 > min_cost_per_obs * n_obs
+
+
+# Module-level jit so host-driven callers (run_windowed_ba) get a cached
+# one-dispatch significance probe instead of op-by-op relay round trips.
+ba_significant_jit = jax.jit(ba_significant)
 
 
 def ba_accept_window(prob: BAProblem, R_opt, t_opt, X_opt,
@@ -398,22 +451,18 @@ def ba_accept_window(prob: BAProblem, R_opt, t_opt, X_opt,
     c0 = window_cost(prob, prob.R, prob.t, prob.X, huber_px=huber_px)
     c_joint = window_cost(prob, R_opt, t_opt, X_opt, huber_px=huber_px)
     c_pose = window_cost(prob, R_opt, t_opt, prob.X, huber_px=huber_px)
-    n_obs = jnp.maximum(
-        jnp.sum(
-            prob.obs_valid & prob.pose_valid[:, None] & prob.point_valid[None, :]
-        ),
-        1,
+    significant = ba_significant(
+        prob, huber_px=huber_px, min_cost_per_obs=min_cost_per_obs
     )
-    significant = c0 > min_cost_per_obs * n_obs
     return significant & (c_joint < c0 * (1.0 - 1e-5)) & (c_pose < c0)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "rtol"))
 def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float = 5.0,
                          gate_px: float = 15.0, fix_first_n=1,
                          point_prior_weight: float = 0.0,
                          odo_trans_sigma=None, odo_rot_sigma=None,
-                         gate2_px=None):
+                         gate2_px=None, rtol: float = 0.0):
     """Outlier-gated BA: drop observations whose INITIAL residual exceeds
     `gate_px` (BA starts from tracked poses, so gross outliers are already
     visible — the same spirit as the reference gating every input through
@@ -435,6 +484,7 @@ def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float 
         p1, iterations=iterations, huber_px=huber_px, fix_first_n=fix_first_n,
         point_prior_weight=point_prior_weight,
         odo_trans_sigma=odo_trans_sigma, odo_rot_sigma=odo_rot_sigma,
+        rtol=rtol,
     )
 
     r1, _, front1 = _project_residuals(R, t, X, prob)
@@ -444,4 +494,5 @@ def bundle_adjust_robust(prob: BAProblem, iterations: int = 10, huber_px: float 
         p2, iterations=max(iterations // 2, 2), huber_px=huber_px,
         fix_first_n=fix_first_n, point_prior_weight=point_prior_weight,
         odo_trans_sigma=odo_trans_sigma, odo_rot_sigma=odo_rot_sigma,
+        rtol=rtol,
     )
