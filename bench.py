@@ -369,7 +369,8 @@ def main():
             `backend` adds the gain-gated PGO/BA pass the headline clock
             already pays for."""
             res = pipeline.result_from_outputs(
-                st_f, outs, keep_refine=cfg.ekf.smooth_keep_refine
+                st_f, outs, keep_refine=cfg.ekf.smooth_keep_refine,
+                rts_parallel=cfg.ekf.rts_parallel,
             )
             res_b = pipeline.run_backend(res, cfg)
 

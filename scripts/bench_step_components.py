@@ -76,7 +76,7 @@ def main():
 
     def timed_scan(name, body):
         """body(carry_scalar) -> new_carry_scalar; scanned N times."""
-        if args.only and args.only not in name:
+        if args.only and not any(p in name for p in args.only.split(",")):
             return
 
         @jax.jit
@@ -241,13 +241,13 @@ def main():
     mp_idx0, kp_ok0, _ = T._track_local_map(state, frame, cfg, state.R, state.t)
 
     def gn(cr):
-        R_o, t_o, n = T._refine_pnp(
+        R_o, t_o, n, R_f, t_f = T._refine_pnp(
             state, frame._replace(xy=jitter_xy(cr)), cfg, state.R, state.t,
             mp_idx0, kp_ok0, key0,
         )
-        return jnp.sum(t_o) * 1e-9 + cr * 0.5
+        return (jnp.sum(t_o) + jnp.sum(t_f)) * 1e-9 + cr * 0.5
 
-    timed_scan("refine_pnp (GN x8)", gn)
+    timed_scan("refine_pnp (GN + full)", gn)
 
     # ---- EKF chain ----
     def ekf_c(cr):

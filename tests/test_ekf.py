@@ -111,3 +111,56 @@ def test_rts_smoother_improves_over_filter():
     err_f = np.linalg.norm(filt - pos_true, axis=-1).mean()
     err_s = np.linalg.norm(smoothed - pos_true, axis=-1).mean()
     assert err_s < err_f  # smoothing strictly helps on this linear problem
+
+
+def _make_snapshots(N, seed=1, drop=()):
+    """Run the real filter to build a realistic snapshot stack."""
+    rng = np.random.default_rng(seed)
+    v = np.array([0.15, -0.08, 0.04])
+    dts = 0.08 + 0.04 * rng.random(N)
+    pos_true = np.cumsum(v[None, :] * dts[:, None], axis=0)
+    st = ekf_ops.initialize(jnp.zeros(3), 0.0)
+    snaps = []
+    for k in range(N):
+        st = ekf_ops.predict(st, float(dts[k]))
+        x_pred, P_pred = st.x, st.P
+        z = pos_true[k] + rng.normal(0, 0.05, 3)
+        st = ekf_ops.update_visual(st, jnp.asarray(z, dtype=jnp.float32), 0.05)
+        snaps.append((x_pred, P_pred, st.x, st.P, dts[k], k))
+    stacked = ekf_ops.EKFSnapshot(
+        x_pred=jnp.stack([s[0] for s in snaps]),
+        P_pred=jnp.stack([s[1] for s in snaps]),
+        x_filt=jnp.stack([s[2] for s in snaps]),
+        P_filt=jnp.stack([s[3] for s in snaps]),
+        dt=jnp.asarray([s[4] for s in snaps], dtype=jnp.float32),
+        frame_id=jnp.asarray([s[5] for s in snaps], dtype=jnp.int32),
+    )
+    valid = np.ones(N, dtype=bool)
+    valid[list(drop)] = False
+    return stacked, jnp.asarray(valid)
+
+
+def test_rts_assoc_matches_sequential():
+    stacked, valid = _make_snapshots(97)
+    seq = np.asarray(ekf_ops.rts_smooth(stacked, valid))
+    par = np.asarray(ekf_ops.rts_smooth_assoc(stacked, valid))
+    np.testing.assert_allclose(par, seq, atol=3e-4)
+
+
+def test_rts_assoc_matches_sequential_with_invalid_frames():
+    # Invalid frames break the smoothing chain exactly like the
+    # sequential where(valid, ., x_filt) masking.
+    stacked, valid = _make_snapshots(64, seed=3, drop=(0, 17, 18, 40))
+    seq = np.asarray(ekf_ops.rts_smooth(stacked, valid))
+    par = np.asarray(ekf_ops.rts_smooth_assoc(stacked, valid))
+    np.testing.assert_allclose(par, seq, atol=3e-4)
+    # The masked frames anchor at their filtered positions in both.
+    np.testing.assert_allclose(
+        par[17], np.asarray(stacked.x_filt[17, :3]), atol=3e-4
+    )
+
+
+def test_rts_assoc_single_frame():
+    stacked, valid = _make_snapshots(1)
+    par = np.asarray(ekf_ops.rts_smooth_assoc(stacked, valid))
+    np.testing.assert_allclose(par, np.asarray(stacked.x_filt[:, :3]))

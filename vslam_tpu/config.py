@@ -242,6 +242,11 @@ class EKFConfig:
     # 0.0125; drifted 896f: 0.2104 -> 0.2103; healthy 896f: 0.0299 ->
     # 0.0281). False restores the reference smoother output.
     smooth_keep_refine: bool = True
+    # Parallel-in-time RTS: associative-scan composition of the backward
+    # affine recursion (log-depth batched 6x6 MXU matmuls) instead of the
+    # N-step sequential scan. Numerically equivalent (float round-off);
+    # False = sequential backward scan, bit-parity with `Slam.cpp:1761-1810`.
+    rts_parallel: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -98,7 +98,7 @@ def _scan_sequence(state: TrackState, frames: FrameFeatures, config: SlamConfig,
 
 def result_from_outputs(
     final_state: TrackState, outs, smooth: bool = True,
-    keep_refine: bool = True,
+    keep_refine: bool = True, rts_parallel: bool = True,
 ) -> RunResult:
     """Package scan outputs as a RunResult, applying the RTS backward
     smoother over the carried EKF snapshots (the reference always smooths
@@ -122,9 +122,13 @@ def result_from_outputs(
             frame_id=jnp.arange(t_raw.shape[0], dtype=jnp.int32),
         )
         valid = jnp.asarray(np.ones(t_raw.shape[0], dtype=bool))
-        t_smooth = np.asarray(
-            jax.jit(ekf_ops.rts_smooth)(snaps, valid)
+        # Parallel-in-time smoother by default (EKFConfig.rts_parallel):
+        # log-depth associative scan, equivalent to the sequential
+        # backward scan to float round-off (tests/test_ekf.py pins it).
+        smoother = (
+            ekf_ops.rts_smooth_assoc if rts_parallel else ekf_ops.rts_smooth
         )
+        t_smooth = np.asarray(jax.jit(smoother)(snaps, valid))
         if keep_refine:
             t_smooth = t_smooth + (t_raw - np.asarray(outs.x_filt)[:, :3])
     else:
@@ -156,6 +160,7 @@ def run_tracking(
     return result_from_outputs(
         final_state, outs, smooth=smooth,
         keep_refine=config.ekf.smooth_keep_refine,
+        rts_parallel=config.ekf.rts_parallel,
     )
 
 

@@ -3,8 +3,11 @@
 TPU-native rebuild of the reference filter (`/root/reference/src/Slam.cpp:
 1654-1744` predict/update/height, `:986-1047` gating/clamp/snapshots,
 `:1761-1810` RTS). The per-frame filter is a pure function suitable for
-`lax.scan`; the smoother is a backward `lax.scan` over stacked snapshots.
-All 6x6 algebra is closed-form f32 — no host round trips.
+`lax.scan`; the smoother ships in two equivalent forms: a backward
+`lax.scan` (reference parity) and a parallel-in-time `associative_scan`
+composition of the affine backward recursion (`rts_smooth_assoc`, the
+default — log-depth batched 6x6 matmuls, SURVEY §5's long-sequence
+formulation). All 6x6 algebra is closed-form f32 — no host round trips.
 
 State layout: x = [px, py, pz, vx, vy, vz], P (6, 6).
 """
@@ -166,5 +169,62 @@ def rts_smooth(snapshots: EKFSnapshot, valid, decay=0.95):
     (_, _), (xs, _) = jax.lax.scan(
         backward, init, (snap_k, snap_next, valid[: N - 1]), reverse=True
     )
+    x_smooth = jnp.concatenate([xs, snapshots.x_filt[N - 1 :]], axis=0)
+    return x_smooth[:, :3]
+
+
+def rts_smooth_assoc(snapshots: EKFSnapshot, valid, decay=0.95):
+    """Parallel-in-time RTS smoother via `lax.associative_scan`.
+
+    Same recursion as `rts_smooth` (`Slam.cpp:1761-1810`), exploited as an
+    affine map: with gain C_k = P_filt[k] F_{k+1}^T pinv(P_pred[k+1]), the
+    smoothed mean obeys
+
+        x_s[k] = a_k + A_k x_s[k+1],
+        A_k = valid[k] ? C_k : 0,   a_k = x_filt[k] - A_k x_pred[k+1]
+
+    (A_k = 0 reproduces the sequential smoother's `where(valid, ., x_filt)`
+    masking exactly). Affine maps compose associatively, so the backward
+    recursion becomes a suffix `associative_scan` of 6x6 compositions:
+    log-depth batched MXU matmuls instead of an N-step sequential scan —
+    the long-sequence formulation SURVEY §5 calls for. The gains (batched
+    pinv + two batched matmuls) are computed once, outside the scan.
+
+    Returns smoothed positions (N, 3), matching `rts_smooth` to float
+    round-off (the composition reassociates the float ops).
+    """
+    N = snapshots.dt.shape[0]
+    if N == 1:
+        return snapshots.x_filt[:, :3]
+    dtype = snapshots.x_filt.dtype
+
+    F = jax.vmap(lambda dt: _transition(dt, jnp.asarray(decay, dtype), dtype))(
+        snapshots.dt[1:]
+    )
+    P_pred_inv = jnp.linalg.pinv(snapshots.P_pred[1:])
+    C = jnp.einsum(
+        "nij,nkj,nkl->nil", snapshots.P_filt[: N - 1], F, P_pred_inv
+    )
+    A = jnp.where(valid[: N - 1, None, None], C, jnp.zeros((), dtype))
+    a = snapshots.x_filt[: N - 1] - jnp.einsum(
+        "nij,nj->ni", A, snapshots.x_pred[1:]
+    )
+
+    def combine(hi, lo):
+        # Under reverse=True the scan order is descending index, so the
+        # FIRST argument is the composition of higher-index maps and the
+        # second is the lower-index element; result = lo ∘ hi (the
+        # higher-index map feeds the lower one, as in the backward
+        # recursion). Function composition is associative.
+        A_hi, a_hi = hi
+        A_lo, a_lo = lo
+        return (
+            jnp.einsum("...ij,...jk->...ik", A_lo, A_hi),
+            a_lo + jnp.einsum("...ij,...j->...i", A_lo, a_hi),
+        )
+
+    A_cum, a_cum = jax.lax.associative_scan(combine, (A, a), reverse=True)
+    x_term = snapshots.x_filt[N - 1]
+    xs = a_cum + jnp.einsum("nij,j->ni", A_cum, x_term)
     x_smooth = jnp.concatenate([xs, snapshots.x_filt[N - 1 :]], axis=0)
     return x_smooth[:, :3]
