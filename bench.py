@@ -382,7 +382,14 @@ def main():
                     ).rmse
                 )
 
-            return _ate(res.t), _ate(res.t_smoothed), _ate(res_b.t_smoothed)
+            rpe = ate_mod2.compute_rpe(
+                dx["timestamps"], np.asarray(res.t_smoothed),
+                dx["timestamps"], dx["t"],
+            ).rmse
+            return (
+                _ate(res.t), _ate(res.t_smoothed), _ate(res_b.t_smoothed),
+                float(rpe),
+            )
 
         # ATE over multiple rendered worlds (same compiled program —
         # only the scene changes): a single run's ATE on this pipeline
@@ -408,8 +415,10 @@ def main():
         ates_raw = [r[0] for r in ate_rows]
         ates_smooth = [r[1] for r in ate_rows]
         ates_backend = [r[2] for r in ate_rows]
+        rpes = [r[3] for r in ate_rows]
         coupled_diag = {
             "ate_rmse_coupled_m": round(float(np.median(ates_smooth)), 4),
+            "rpe_rmse_coupled_m": round(float(np.median(rpes)), 4),
             "ate_coupled_seeds_m": [round(a, 4) for a in ates_smooth],
             "ate_coupled_raw_m": round(float(np.median(ates_raw)), 4),
             "ate_coupled_after_backend_m": round(

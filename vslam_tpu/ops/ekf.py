@@ -52,6 +52,45 @@ def _transition(dt, decay, dtype):
     return F
 
 
+def _bmm(a, b):
+    """Small-matrix matmul as broadcast arithmetic (exact f32, VPU).
+
+    The tracking step pins f32 matmul precision, under which a tiny MXU
+    matmul costs ~6 bf16 passes of pure latency (CLAUDE.md); the EKF
+    chain strings ~15 of them back to back. The elementwise form fuses
+    into the surrounding ops and never touches the MXU."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _mv(a, v):
+    """Matrix-vector product in broadcast arithmetic: (m, k) @ (k,)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def _inv_spd_small(S):
+    """Analytic inverse for the (1,1)/(3,3) innovation covariances —
+    closed form, no LU/solve kernel launch."""
+    if S.shape[-1] == 1:
+        return 1.0 / S
+    a, b, c = S[0, 0], S[0, 1], S[0, 2]
+    d, e, f = S[1, 0], S[1, 1], S[1, 2]
+    g, h, i = S[2, 0], S[2, 1], S[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack(
+        [jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, I])]
+    )
+    return adj / det
+
+
 def predict(state: EKFState, dt, sigma_a=1.0, decay=0.95):
     """Constant-velocity predict with velocity decay (`Slam.cpp:1668-1695`).
 
@@ -62,23 +101,26 @@ def predict(state: EKFState, dt, sigma_a=1.0, decay=0.95):
     dts = jnp.where(do, dt, 0.0).astype(dtype)
 
     F = _transition(dts, jnp.where(do, decay, 1.0).astype(dtype), dtype)
-    x_new = F @ state.x
+    x_new = _mv(F, state.x)
     I3 = jnp.eye(3, dtype=dtype)
     q11 = 0.25 * dts**4 * sigma_a**2
     q12 = 0.5 * dts**3 * sigma_a**2
     q22 = dts**2 * sigma_a**2
     Q = jnp.block([[q11 * I3, q12 * I3], [q12 * I3, q22 * I3]])
-    P_new = F @ state.P @ F.T + Q
+    P_new = _bmm(_bmm(F, state.P), F.T) + Q
     return state._replace(x=x_new, P=P_new)
 
 
 def _joseph_update(x, P, y, H, Rm):
-    """Joseph-form measurement update (`Slam.cpp:1701-1720`)."""
-    S = H @ P @ H.T + Rm
-    K = P @ H.T @ jnp.linalg.inv(S)
-    x_new = x + K @ y
-    IKH = jnp.eye(6, dtype=x.dtype) - K @ H
-    P_new = IKH @ P @ IKH.T + K @ Rm @ K.T
+    """Joseph-form measurement update (`Slam.cpp:1701-1720`).
+
+    All products in broadcast arithmetic (`_bmm`) with the analytic
+    small-matrix inverse — the update is exact f32 and MXU-free."""
+    S = _bmm(_bmm(H, P), H.T) + Rm
+    K = _bmm(_bmm(P, H.T), _inv_spd_small(S))
+    x_new = x + _mv(K, y)
+    IKH = jnp.eye(6, dtype=x.dtype) - _bmm(K, H)
+    P_new = _bmm(_bmm(IKH, P), IKH.T) + _bmm(_bmm(K, Rm), K.T)
     return x_new, P_new
 
 
