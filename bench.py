@@ -7,29 +7,51 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): >= 200 frames/sec/chip end-to-end at ATE RMSE
 <= 0.14 m. The reference publishes only "real time" (~30 fps sensor rate)
 on GPU; its per-frame loop includes dense voxel accumulation
-(`/root/reference/src/main.cpp:1081-1146`), so the dense-fusion scan is
-part of the per-frame metric here too.
+(`/root/reference/src/main.cpp:1081-1146`), so dense fusion is part of
+the per-frame metric here too.
 
 The HEADLINE number is MEASURED, not modeled: one jitted program ingests
 uint8 frames and runs SuperPoint -> decode -> keypoint depth -> tracking
 scan -> dense fusion coupled (`core/coupled.py`, mirroring the
 reference's everything-under-one-clock loop `src/main.cpp:1096-1309`),
 timed over rasterized synthetic room sequences, with the PGO/BA backend's
-once-per-sequence wall time amortized in. Per-stage programs are timed
-separately for attribution (detail.e2e_stage_sum_fps is the round-2
-style stage-sum), branch-execution counts accompany the coupled run so
-the workload is auditable, and per-stage achieved TFLOP/s are derived
-from the analytic FLOP model in `utils/flops.py`.
+once-per-sequence wall time amortized in.
+
+FAILURE CONTAINMENT (round-3 lesson: a driver timeout lost the round's
+official number, BENCH_r03 rc=124):
+  * the REQUIRED path (coupled program + backend) runs FIRST; everything
+    else — stage attribution, stress/mono workloads, multi-sequence runs,
+    extended ATE evidence — is optional, wrapped in try/except, and
+    skipped when the remaining `--budget` wall clock can't cover its
+    estimated cost (skips recorded in detail.skipped_stages);
+  * the JSON line is printed from a finally block from whatever was
+    measured, and a SIGTERM/SIGINT handler emits it too, so even an
+    external kill leaves a parseable result on stdout.
 
 Methodology (axon relay: ~50 ms dispatch RTT, block_until_ready does not
 synchronize — CLAUDE.md):
   * every stage is ONE jitted program scanned over the whole workload,
-    with a scalar host readback as the completion barrier;
-  * 2 warm-up runs per stage (compile + autotune), then TIMED_ITERS timed
-    runs each ending in a readback; the reported number is the MEDIAN and
-    `detail.fps_spread` records (max-min)/median across iterations — the
-    round-1 headline did not reproduce under the driver, so run-to-run
-    variance is now part of the result.
+    with a scalar host readback as the completion barrier; timed programs
+    return a CHECKSUM over every result leaf (returning buffers pays
+    relay output mirroring; reducing fewer leaves lets XLA DCE work);
+  * 2 warm-up runs per stage, then TIMED_ITERS timed runs; the reported
+    number is the MEDIAN and `detail.fps_spread` records
+    (max-min)/median across iterations.
+
+Workloads beyond the healthy-path headline (round-4 additions):
+  * STRESS: a stress world (`synthetic.make_stress_image_sequence`) puts
+    the expensive rare branches INSIDE the measured run — a stationary
+    pause (C16), a texture-dropout stretch forcing bridge keyframes +
+    PnP recovery (`src/Slam.cpp:847-872, 535-613`) — reported as
+    stress_fps / stress ATE / branch counts. Same compiled program as
+    the headline (same shapes; only the pixels and IMU change).
+  * MONO: the same program fed all-invalid depth exercises the
+    essential-matrix + scale-chain mode end-to-end
+    (`src/Slam.cpp:966-984`); mono ATE is sim(3)-aligned (monocular
+    scale ambiguity).
+  * LONG: a 2.5-revolution stress sequence at the reference's true
+    sequence scale (>= 2544 frames, `README.md:5`) fires loop closure at
+    the production 200-keyframe cadence in-run (`src/Slam.cpp:1084`).
 """
 
 from __future__ import annotations
@@ -37,6 +59,8 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import signal
 import sys
 import time
 
@@ -44,20 +68,20 @@ import numpy as np
 
 TIMED_ITERS = 5
 WARMUP_ITERS = 2
+T0 = time.time()
 
 
 def _note(msg):
     """Stage progress to stderr (stdout stays the single JSON line)."""
-    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+    print(
+        f"[bench {time.strftime('%H:%M:%S')} +{time.time() - T0:5.0f}s] {msg}",
+        file=sys.stderr, flush=True,
+    )
 
 
 def _timed(fn, readback, iters=None, warmup=WARMUP_ITERS):
     """Run fn() (returning a chain value) warmup+iters times; readback(x)
-    forces completion. Returns list of per-iteration seconds.
-
-    iters=None reads the (possibly --iters-overridden) module global at
-    call time — a default bound at import would pin stage timings to 5
-    samples while the e2e aggregation loops range(TIMED_ITERS)."""
+    forces completion. Returns list of per-iteration seconds."""
     if iters is None:
         iters = TIMED_ITERS
     for _ in range(warmup):
@@ -80,16 +104,21 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
     ap.add_argument("--frames", type=int, default=0, help="tracked frames (0 = default)")
-    ap.add_argument("--no-frontend", action="store_true", help="skip SuperPoint timing")
-    ap.add_argument("--no-dense", action="store_true", help="skip dense fusion timing")
     ap.add_argument(
-        "--multi", type=int, default=-1,
-        help="batch size for multi-sequence tracking (production per-chip "
-        "throughput config; -1 = default 4, 0 = skip)",
+        "--budget", type=float, default=0.0,
+        help="wall-clock budget in seconds (default 960 full / 1200 tiny-cpu); "
+        "optional stages are skipped when the remaining budget can't cover "
+        "their estimated cost. 0 = default.",
     )
     ap.add_argument(
-        "--no-coupled", action="store_true",
-        help="skip the measured coupled end-to-end program",
+        "--stages", default="",
+        help="comma-separated subset of optional stages to run (default all): "
+        "ate3,stress,mono,frontend,tracking,dense,multi_coupled,oracle,"
+        "multi_tracking,ate_wide,long",
+    )
+    ap.add_argument(
+        "--multi", type=int, default=-1,
+        help="batch size for multi-sequence tracking (-1 = default 4, 0 = skip)",
     )
     ap.add_argument(
         "--multi-coupled", default=None,
@@ -103,16 +132,112 @@ def main():
     )
     ap.add_argument(
         "--chunk", type=int, default=0,
-        help="frames per coupled-pipeline chunk (frontend conv batch; "
-        "0 = default 128, tiny 4)",
+        help="frames per coupled-pipeline chunk (0 = default 128, tiny 4)",
     )
     args = ap.parse_args()
 
     global TIMED_ITERS
     if args.iters:
         TIMED_ITERS = args.iters
+    budget = args.budget or (1200.0 if (args.tiny and args.cpu) else 960.0)
+    only_stages = set(s for s in args.stages.split(",") if s)
 
+    # ---------------- result state + always-emit machinery ----------------
+    detail = {"skipped_stages": [], "errors": {}}
+    hl = {"coupled_fps": None, "backend_s": None, "nC": 0,
+          "ts_coupled": None, "ts_backend": None}
+    emitted = [False]
+
+    def emit():
+        if emitted[0]:
+            return
+        emitted[0] = True
+        # Headline: measured coupled program + once-per-sequence backend
+        # amortized per frame; degrade gracefully to partial evidence.
+        fps = 0.0
+        if hl["coupled_fps"]:
+            if hl["backend_s"] is not None and hl["nC"]:
+                fps = 1.0 / (1.0 / hl["coupled_fps"] + hl["backend_s"] / hl["nC"])
+            else:
+                fps = hl["coupled_fps"]
+                detail["errors"].setdefault(
+                    "backend", "not timed; headline omits backend amortization"
+                )
+        elif detail.get("e2e_stage_sum_fps"):
+            fps = detail["e2e_stage_sum_fps"]
+        if hl["ts_coupled"] and hl["ts_backend"] and hl["nC"]:
+            e2e_iters = [
+                hl["ts_coupled"][min(i, len(hl["ts_coupled"]) - 1)] / hl["nC"]
+                + hl["ts_backend"][min(i, len(hl["ts_backend"]) - 1)] / hl["nC"]
+                for i in range(TIMED_ITERS)
+            ]
+            detail["fps_spread"] = round(_spread(e2e_iters), 4)
+        detail["elapsed_s"] = round(time.time() - T0, 1)
+        detail["budget_s"] = budget
+        detail["timed_iters"] = TIMED_ITERS
+        print(
+            json.dumps(
+                {
+                    "metric": "frames/sec/chip end-to-end MEASURED (uint8 frames -> SuperPoint -> track -> dense fusion, one program; + PGO/BA backend)",
+                    "value": round(fps, 2),
+                    "unit": "fps",
+                    "vs_baseline": round(fps / 200.0, 3),
+                    "detail": detail,
+                }
+            ),
+            flush=True,
+        )
+
+    def _on_term(signum, frame):
+        _note(f"signal {signum}: emitting partial result")
+        detail["errors"]["signal"] = f"terminated by signal {signum}"
+        emit()
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    def stage(name, est_s, fn, required=False):
+        """Run an optional stage under the wall-clock budget with error
+        containment. Returns fn() or None (skipped / failed)."""
+        if not required:
+            if only_stages and name not in only_stages:
+                detail["skipped_stages"].append(f"{name} (--stages)")
+                return None
+            remaining = budget - (time.time() - T0)
+            if remaining < est_s:
+                detail["skipped_stages"].append(
+                    f"{name} (budget: {remaining:.0f}s left < est {est_s}s)"
+                )
+                _note(f"SKIP {name}: {remaining:.0f}s left < est {est_s}s")
+                return None
+        _note(f"{name} stage")
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — contain, report, continue
+            msg = f"{type(e).__name__}: {str(e)[:200]}"
+            detail["errors"][name] = msg
+            _note(f"ERROR in {name}: {msg}")
+            if required:
+                raise
+            return None
+
+    try:
+        _run_stages(args, detail, hl, stage, budget)
+    except Exception as e:  # noqa: BLE001
+        detail["errors"].setdefault("fatal", f"{type(e).__name__}: {str(e)[:300]}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        emit()
+
+
+def _run_stages(args, detail, hl, stage, budget):
     import jax
+
+    def budget_left():
+        return budget - (time.time() - T0)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -122,19 +247,29 @@ def main():
     import jax.numpy as jnp
 
     from vslam_tpu.config import SlamConfig, tiny_test_config
+    from vslam_tpu.core import coupled as coupled_mod
     from vslam_tpu.core import pipeline
+    from vslam_tpu.core.state import init_state
     from vslam_tpu.data import synthetic
+    from vslam_tpu.eval import ate as ate_mod
     from vslam_tpu.models import superpoint as sp
+    from vslam_tpu.models import weights as wmod
     from vslam_tpu.ops import gridhash, nms
 
     dev = jax.devices()[0]
+    detail["device"] = str(dev)
 
     if args.tiny:
         cfg = tiny_test_config()
         n_frames = args.frames or 16
         sp_batch = args.sp_batch or 2
         n_landmarks = 800
+        lm_img = 600
         multi_b = 2 if args.multi == -1 else args.multi
+        mlist = [2] if args.multi_coupled is None else [
+            int(x) for x in args.multi_coupled.split(",") if x
+        ]
+        long_frames = 48
     else:
         cfg = SlamConfig()
         # Default workload sized like TUM fr2_pioneer_slam3 at FRAME_STEP=3:
@@ -142,25 +277,327 @@ def main():
         n_frames = args.frames or 848
         sp_batch = args.sp_batch or 128
         n_landmarks = 6000
+        lm_img = 6000
         multi_b = 4 if args.multi == -1 else args.multi
-
+        mlist = [4, 8] if args.multi_coupled is None else [
+            int(x) for x in args.multi_coupled.split(",") if x
+        ]
+        # Reference true scale: 2,544 frames (`/root/reference/README.md:5`).
+        long_frames = 2560
     c = cfg.camera
 
-    # ---------------- Frontend: SuperPoint forward + decode ----------------
-    _note("frontend stage")
-    sp_fps = float("inf")
-    sp_sprd = 0.0
-    if not args.no_frontend:
-        params = sp.init_params(jax.random.PRNGKey(0), height=c.height, width=c.width)
+    def E(full, tiny):
+        return tiny if args.tiny else full
+
+    # Coupled-sequence geometry (chunk-rounded UP, never truncated).
+    CHUNK = args.chunk or (4 if args.tiny else 128)
+    S = max((n_frames + CHUNK - 1) // CHUNK, 1)
+    nC = S * CHUNK
+    H, W = c.height, c.width
+
+    # Lazily generated rendered worlds, shared by the ATE seeds, the
+    # multi-coupled members and the long run (rasterizing a 896-frame
+    # world costs ~1 min of host time; nothing should pay it twice).
+    _worlds = {}
+
+    def world(seed):
+        if seed not in _worlds:
+            _note(f"  rasterizing world seed={seed} ({nC} frames)")
+            _worlds[seed] = synthetic.make_image_sequence(
+                nC, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+                seed=seed, num_landmarks=lm_img,
+                radius=(2.0 if args.tiny else 3.0), with_rgb=(seed == 0),
+            )
+        return _worlds[seed]
+
+    def chunked(x, dtype=None):
+        a = np.asarray(x)
+        if dtype is not None:
+            a = a.astype(dtype)
+        return jnp.asarray(a.reshape((S, CHUNK) + a.shape[1:]))
+
+    # ================= REQUIRED: coupled headline program =================
+    params_c, weight_src = wmod.load_or_init_superpoint(height=H, width=W)
+    detail["coupled"] = {"weight_source": str(weight_src).split("/")[-1],
+                         "frames": nC}
+    st_c0 = init_state(cfg)
+    dn_c0 = gridhash.init_dense_map(cfg.dense.hash_capacity, cfg.dense.cloud_capacity)
+
+    @jax.jit
+    def coupled_checksum(params_c, st0, dn0, gray, dep, rgb, tsc, fid, stat):
+        """The timed program: identical compute, scalar output. A checksum
+        over every result leaf (trajectory, dense cloud, final state)
+        keeps all of it live — returning the buffers themselves is not
+        timed because the relay's output mirroring adds ~1.2 ms/frame of
+        non-compute (round-3 bisect); a count-only readback lets XLA DCE
+        the cloud append (round-3 caught the round-2 number doing so).
+        All arrays are ARGUMENTS: closure arrays embed as HLO constants
+        and blow the relay's compile-request size cap."""
+        st_f, dn_f, outs = coupled_mod.run_coupled(
+            params_c, st0, dn0, gray, dep, rgb, tsc, fid, stat, cfg
+        )
+        chk = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(outs):
+            chk = chk + jnp.sum(leaf.astype(jnp.float32))
+        for leaf in jax.tree.leaves(dn_f):
+            chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
+        for leaf in jax.tree.leaves(st_f):
+            chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
+        return chk
+
+    def run_world(gray, dep, rgb, tsc, fid, stat, st0=None):
+        """One full-output coupled run (diagnostics path; NOT timed)."""
+        st_f, dn_f, outs = coupled_mod.run_coupled(
+            params_c, st0 if st0 is not None else st_c0, dn_c0,
+            gray, dep, rgb, tsc, fid, stat, cfg,
+        )
+        return st_f, dn_f, outs
+
+    def _stage_coupled():
+        d0 = world(0)
+        gray1 = chunked(d0["gray"])
+        dep1 = chunked(d0["depth_u16"])
+        rgb1 = chunked(d0["rgb"])
+        tsc1 = chunked(d0["timestamps"], np.float32)
+        fid1 = chunked(np.arange(nC, dtype=np.int32))
+        stat1 = jnp.zeros((S, CHUNK), bool)
+        _note("  compiling + warming coupled program (slow on cold cache)")
+        st_cf, _, outs_c = run_world(gray1, dep1, rgb1, tsc1, fid1, stat1)
+        ts_coupled = _timed(
+            lambda: coupled_checksum(
+                params_c, st_c0, dn_c0, gray1, dep1, rgb1, tsc1, fid1, stat1
+            ),
+            float,
+        )
+        return (gray1, dep1, rgb1, tsc1, fid1, stat1, st_cf, outs_c, ts_coupled)
+
+    (gray1, dep1, rgb1, tsc1, fid1, stat1, st_cf, outs_c, ts_coupled) = stage(
+        "coupled", 0, _stage_coupled, required=True
+    )
+    dt_c = float(np.median(ts_coupled))
+    hl.update(coupled_fps=nC / dt_c, nC=nC, ts_coupled=ts_coupled)
+    detail["e2e_measured_fps"] = round(nC / dt_c, 2)
+    detail.setdefault("stage_spread", {})["coupled"] = round(_spread(ts_coupled), 4)
+
+    def coupled_ates(gt_ts, gt_t, st_f, outs, with_scale=False):
+        """(raw, RTS-smoothed, smoothed+backend, RPE) — the reference
+        always RTS-smooths before evaluating (`src/main.cpp:1311`), so
+        `smoothed` is the parity metric; `backend` adds the gain-gated
+        PGO/BA pass the headline clock already pays for."""
+        res = pipeline.result_from_outputs(
+            st_f, outs, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        res_b = pipeline.run_backend(res, cfg)
+
+        def _ate(t_est):
+            return float(
+                ate_mod.compute_ate(
+                    gt_ts, np.asarray(t_est), gt_ts, gt_t,
+                    with_scale=with_scale,
+                ).rmse
+            )
+
+        rpe = ate_mod.compute_rpe(
+            gt_ts, np.asarray(res.t_smoothed), gt_ts, gt_t
+        ).rmse
+        return (_ate(res.t), _ate(res.t_smoothed), _ate(res_b.t_smoothed),
+                float(rpe))
+
+    # ---- REQUIRED: backend timing (headline amortization) + seed-0 ATE ----
+    def _stage_backend():
+        d0 = world(0)
+        res0 = pipeline.result_from_outputs(
+            st_cf, outs_c, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        pipeline.run_backend(res0, cfg)  # warm (compile)
+        ts_backend = []
+        for _ in range(TIMED_ITERS):
+            t0 = time.perf_counter()
+            res_b0 = pipeline.run_backend(res0, cfg)
+            ts_backend.append(time.perf_counter() - t0)
+
+        def _ate(t_est):
+            return float(
+                ate_mod.compute_ate(
+                    d0["timestamps"], np.asarray(t_est),
+                    d0["timestamps"], d0["t"], with_scale=False,
+                ).rmse
+            )
+
+        rpe = ate_mod.compute_rpe(
+            d0["timestamps"], np.asarray(res0.t_smoothed),
+            d0["timestamps"], d0["t"],
+        ).rmse
+        row0 = (_ate(res0.t), _ate(res0.t_smoothed), _ate(res_b0.t_smoothed),
+                float(rpe))
+        return ts_backend, row0
+
+    ts_backend, row0 = stage("backend", 0, _stage_backend, required=True)
+    backend_s = float(np.median(ts_backend))
+    hl.update(backend_s=backend_s, ts_backend=ts_backend)
+    detail["backend_s"] = round(backend_s, 3)
+    ate_rows = [row0]
+    # Branch-execution counts: the workload's honesty record.
+    detail["coupled"]["branch_counts"] = {
+        "keyframes": int(np.asarray(outs_c.is_keyframe).sum()),
+        "bridged": int(np.asarray(outs_c.bridged).sum()),
+        "recovered": int(np.asarray(outs_c.recovered).sum()),
+        "essential_frames": int(
+            (~np.asarray(outs_c.used_3d3d) & np.asarray(outs_c.tracking_ok)).sum()
+        ),
+        "tracked_frac": round(float(np.asarray(outs_c.tracking_ok)[1:].mean()), 4),
+        "mean_matches": round(float(np.asarray(outs_c.num_matches)[1:].mean()), 1),
+    }
+
+    def _finish_ates():
+        detail["coupled"].update(
+            ate_rmse_coupled_m=round(float(np.median([r[1] for r in ate_rows])), 4),
+            rpe_rmse_coupled_m=round(float(np.median([r[3] for r in ate_rows])), 4),
+            ate_coupled_seeds_m=[round(r[1], 4) for r in ate_rows],
+            ate_coupled_raw_m=round(float(np.median([r[0] for r in ate_rows])), 4),
+            ate_coupled_after_backend_m=round(
+                float(np.median([r[2] for r in ate_rows])), 4
+            ),
+        )
+
+    _finish_ates()
+
+    # ================= OPTIONAL stages (budget-guarded) =================
+
+    # ---- ATE over extra rendered worlds (same compiled program) ----
+    def _ate_seed(s):
+        dx = world(s)
+        g_x = chunked(dx["gray"])
+        d_x = chunked(dx["depth_u16"])
+        t_x = chunked(dx["timestamps"], np.float32)
+        st_x, _, outs_x = run_world(g_x, d_x, rgb1, t_x, fid1, stat1)
+        ate_rows.append(
+            coupled_ates(dx["timestamps"], dx["t"], st_x, outs_x)
+        )
+
+    def _stage_ate3():
+        for s in (1, 2):
+            _ate_seed(s)
+        _finish_ates()
+
+    stage("ate3", E(170, 30), _stage_ate3)
+
+    # ---- STRESS: stationary pause + texture dropout, same program ----
+    def _stage_stress():
+        sd = synthetic.make_stress_image_sequence(
+            nC, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+            seed=101, num_landmarks=lm_img, loops=1.0,
+        )
+        stat_np = pipeline.detect_stationary(
+            sd["accel"], sd["timestamps"],
+            window=cfg.ekf.stationary_window_s,
+            threshold=cfg.ekf.stationary_accel_std,
+        )
+        gravity, h0 = pipeline.compute_gravity_direction(
+            sd["accel"], np.eye(3, dtype=np.float32)
+        )
+        st_s0 = init_state(cfg, gravity=gravity, initial_height=h0)
+        grayS = chunked(sd["gray"])
+        depS = chunked(sd["depth_u16"])
+        tsS = chunked(sd["timestamps"], np.float32)
+        statS = chunked(stat_np)
+        st_sf, _, outs_s = run_world(grayS, depS, rgb1, tsS, fid1, statS,
+                                     st0=st_s0)
+        res_s = pipeline.result_from_outputs(
+            st_sf, outs_s, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        res_sb = pipeline.run_backend(res_s, cfg)
+        ate_s = float(ate_mod.compute_ate(
+            sd["timestamps"], res_s.t_smoothed, sd["timestamps"], sd["t"],
+            with_scale=False,
+        ).rmse)
+        ate_sb = float(ate_mod.compute_ate(
+            sd["timestamps"], res_sb.t_smoothed, sd["timestamps"], sd["t"],
+            with_scale=False,
+        ).rmse)
+        ts_s = _timed(
+            lambda: coupled_checksum(
+                params_c, st_s0, dn_c0, grayS, depS, rgb1, tsS, fid1, statS
+            ),
+            float, iters=max(TIMED_ITERS - 2, 2), warmup=1,
+        )
+        dt_s = float(np.median(ts_s))
+        detail["stress"] = {
+            "stress_fps": round(nC / dt_s, 2),
+            "stress_fps_with_backend": round(
+                1.0 / (dt_s / nC + backend_s / nC), 2
+            ),
+            "stress_ate_rmse_m": round(ate_s, 4),
+            "stress_ate_after_backend_m": round(ate_sb, 4),
+            "spread": round(_spread(ts_s), 4),
+            "branch_counts": {
+                "keyframes": int(np.asarray(outs_s.is_keyframe).sum()),
+                "bridged": int(np.asarray(outs_s.bridged).sum()),
+                "recovered": int(np.asarray(outs_s.recovered).sum()),
+                "stationary_frames": int(stat_np.sum()),
+                "essential_frames": int(
+                    (~np.asarray(outs_s.used_3d3d)
+                     & np.asarray(outs_s.tracking_ok)).sum()
+                ),
+                "lost_frames": int((~np.asarray(outs_s.tracking_ok)).sum()),
+                "loop_constraints": int(
+                    np.asarray(st_sf.loops.valid).sum()
+                ),
+                "tracked_frac": round(
+                    float(np.asarray(outs_s.tracking_ok)[1:].mean()), 4
+                ),
+            },
+        }
+
+    stage("stress", E(170, 40), _stage_stress)
+
+    # ---- MONO: all-invalid depth -> essential + scale chain, same program ----
+    def _stage_mono():
+        d0 = world(0)
+        dep_zero = jnp.zeros_like(dep1)
+        st_mf, _, outs_m = run_world(gray1, dep_zero, rgb1, tsc1, fid1, stat1)
+        res_m = pipeline.result_from_outputs(
+            st_mf, outs_m, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        # Monocular trajectories are defined up to scale: sim(3) ATE.
+        ate_m = float(ate_mod.compute_ate(
+            d0["timestamps"], res_m.t_smoothed, d0["timestamps"], d0["t"],
+            with_scale=True,
+        ).rmse)
+        ts_m = _timed(
+            lambda: coupled_checksum(
+                params_c, st_c0, dn_c0, gray1, dep_zero, rgb1, tsc1, fid1,
+                stat1,
+            ),
+            float, iters=max(TIMED_ITERS - 2, 2), warmup=1,
+        )
+        detail["mono"] = {
+            "mono_ate_rmse_sim3_m": round(ate_m, 4),
+            "mono_fps": round(nC / float(np.median(ts_m)), 2),
+            "essential_frames": int(
+                (~np.asarray(outs_m.used_3d3d)
+                 & np.asarray(outs_m.tracking_ok)).sum()
+            ),
+            "tracked_frac": round(
+                float(np.asarray(outs_m.tracking_ok)[1:].mean()), 4
+            ),
+        }
+        detail["mono_ate_rmse_m"] = detail["mono"]["mono_ate_rmse_sim3_m"]
+
+    stage("mono", E(100, 40), _stage_mono)
+
+    # ---- Stage attribution: frontend ----
+    def _stage_frontend():
+        params = sp.init_params(jax.random.PRNGKey(0), height=H, width=W)
         model = sp.SuperPoint()
         n_chunks = max(n_frames // sp_batch, 1)
 
         @jax.jit
         def frontend_sequence(params, chunks, chain):
-            """chunks: (C, B, H, W, 1) uint8 -> scan frontend over chunks.
-            Frames live in HBM as uint8 (4x less traffic than f32) and are
-            normalized on-device per chunk, like production ingest."""
-
             def step(carry, images_u8):
                 images = images_u8.astype(jnp.float32) / 255.0
                 semi, desc_c = model.apply(params, images + 0.0 * carry)
@@ -181,62 +618,79 @@ def main():
 
         chunks = jnp.asarray(
             np.random.default_rng(0).integers(
-                0, 255, (n_chunks, sp_batch, c.height, c.width, 1), dtype=np.uint8
+                0, 255, (n_chunks, sp_batch, H, W, 1), dtype=np.uint8
             )
         )
         chain0 = jnp.asarray(0.0, jnp.float32)
-        ts_sp = _timed(
-            lambda: frontend_sequence(params, chunks, chain0), float
-        )
+        ts_sp = _timed(lambda: frontend_sequence(params, chunks, chain0), float)
         dt_sp = float(np.median(ts_sp))
-        sp_sprd = _spread(ts_sp)
-        sp_fps = n_chunks * sp_batch / dt_sp
-        del chunks  # free HBM before the next stage
+        detail["frontend_fps"] = round(n_chunks * sp_batch / dt_sp, 2)
+        detail["stage_spread"]["frontend"] = round(_spread(ts_sp), 4)
+        from vslam_tpu.utils import flops as flops_mod
 
-    # ---------------- Tracking scan ----------------
-    _note("tracking stage")
-    seq = synthetic.make_sequence(
-        num_frames=n_frames,
-        max_keypoints=cfg.frontend.max_keypoints,
-        desc_dim=cfg.frontend.descriptor_dim,
-        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
-        width=c.width, height=c.height,
-        seed=0, num_landmarks=n_landmarks,
-    )
-    frames = pipeline.features_from_synthetic(seq)
-    from vslam_tpu.core.state import init_state
-    from vslam_tpu.core.pipeline import _scan_sequence
-
-    gravity, h0 = pipeline.compute_gravity_direction(seq.accel, np.eye(3, dtype=np.float32))
-    state0 = init_state(cfg, gravity=gravity, initial_height=h0)
-
-    @jax.jit
-    def scan_chained(state, frames):
-        fs, outs = _scan_sequence(state, frames, cfg, 42)
-        return jnp.sum(outs.t)
-
-    ts_track = _timed(lambda: scan_chained(state0, frames), float)
-    dt_track = float(np.median(ts_track))
-    track_sprd = _spread(ts_track)
-    track_fps = n_frames / dt_track
-
-    # ---------------- Dense voxel fusion (per-frame in the reference) ------
-    _note("dense fusion stage")
-    dense_fps = float("inf")
-    dense_sprd = 0.0
-    if not args.no_dense:
-        # Synthetic room depth+color stream resident in HBM (uint8/f32),
-        # poses from the tracked trajectory shape.
-        kd = jax.random.PRNGKey(1)
-        H, W = c.height, c.width
-        depth_frames = jax.random.uniform(
-            kd, (n_frames, H, W), jnp.float32, 0.3, 6.0
+        detail["frontend_tflops"] = round(
+            flops_mod.superpoint_flops_per_frame(H, W)
+            * detail["frontend_fps"] / 1e12, 2,
         )
+        detail["flop_model"] = flops_mod.describe()
+
+    stage("frontend", E(90, 30), _stage_frontend)
+
+    # ---- Stage attribution: tracking scan (feature-level oracle) ----
+    seq_holder = {}
+
+    def _oracle_seq():
+        if "seq" not in seq_holder:
+            seq_holder["seq"] = synthetic.make_sequence(
+                num_frames=n_frames,
+                max_keypoints=cfg.frontend.max_keypoints,
+                desc_dim=cfg.frontend.descriptor_dim,
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=W, height=H,
+                seed=0, num_landmarks=n_landmarks,
+            )
+        return seq_holder["seq"]
+
+    def _stage_tracking():
+        seq = _oracle_seq()
+        frames = pipeline.features_from_synthetic(seq)
+        gravity, h0 = pipeline.compute_gravity_direction(
+            seq.accel, np.eye(3, dtype=np.float32)
+        )
+        state0 = init_state(cfg, gravity=gravity, initial_height=h0)
+        from vslam_tpu.core.pipeline import _scan_sequence
+
+        @jax.jit
+        def scan_chained(state, frames):
+            fs, outs = _scan_sequence(state, frames, cfg, 42)
+            return jnp.sum(outs.t)
+
+        ts_track = _timed(lambda: scan_chained(state0, frames), float)
+        dt_track = float(np.median(ts_track))
+        detail["tracking_fps"] = round(n_frames / dt_track, 2)
+        detail["stage_spread"]["tracking"] = round(_spread(ts_track), 4)
+        from vslam_tpu.utils import flops as flops_mod
+
+        detail["tracking_tflops"] = round(
+            flops_mod.tracking_flops_per_frame(
+                cfg.frontend.max_keypoints, cfg.frontend.descriptor_dim,
+                cfg.map.map_capacity,
+            ) * detail["tracking_fps"] / 1e12, 2,
+        )
+
+    stage("tracking", E(120, 40), _stage_tracking)
+
+    # ---- Stage attribution: dense voxel fusion ----
+    def _stage_dense():
+        kd = jax.random.PRNGKey(1)
+        depth_frames = jax.random.uniform(kd, (n_frames, H, W), jnp.float32, 0.3, 6.0)
         rgb_frames = jax.random.randint(
             jax.random.PRNGKey(2), (n_frames, H, W, 3), 0, 255, jnp.uint8
         )
         Rs = jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_frames, 1, 1))
-        t_path = jnp.asarray(seq.t, jnp.float32)
+        t_path = jnp.asarray(
+            np.linspace(0, 1, n_frames)[:, None]
+            * np.array([[1.0, 0.0, 1.0]]), jnp.float32,
+        )
 
         @jax.jit
         def dense_chained(depths, rgbs, Rs, ts_):
@@ -249,232 +703,75 @@ def main():
                 voxel_size=cfg.dense.voxel_size,
                 frames_per_step=math.gcd(n_frames, 16),
             )
-            # Checksum over EVERY state leaf: a count-only readback lets
-            # XLA dead-code-eliminate the cloud append itself (measured
-            # — the round-3 bisect caught the round-2 number doing so).
             chk = jnp.float32(0.0)
             for leaf in jax.tree.leaves(st):
                 chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
             return chk
 
         ts_dense = _timed(
-            lambda: dense_chained(depth_frames, rgb_frames, Rs, t_path),
-            lambda x: float(x),
+            lambda: dense_chained(depth_frames, rgb_frames, Rs, t_path), float
         )
         dt_dense = float(np.median(ts_dense))
-        dense_sprd = _spread(ts_dense)
-        dense_fps = n_frames / dt_dense
-        del depth_frames, rgb_frames, Rs, t_path  # free HBM
+        detail["dense_fusion_fps"] = round(n_frames / dt_dense, 2)
+        detail["stage_spread"]["dense"] = round(_spread(ts_dense), 4)
 
-    # ---------------- MEASURED coupled end-to-end ----------------
-    # One program: uint8 frames -> SuperPoint -> decode -> kp depth ->
-    # tracking scan -> dense fusion (core/coupled.py). This is the
-    # headline; the stage timings above are attribution.
-    coupled_fps = None
-    coupled_sprd = 0.0
-    ts_coupled = None
-    coupled_diag = {}
-    multi_measured = {}
-    if not args.no_coupled:
-        from vslam_tpu.core import coupled as coupled_mod
-        from vslam_tpu.core.state import init_state as _init_state
-        from vslam_tpu.eval import ate as ate_mod2
-        from vslam_tpu.models import weights as wmod
+    stage("dense", E(90, 30), _stage_dense)
 
-        # Round the sequence UP to a chunk multiple (never truncate: a
-        # bigger conv batch must not shrink the workload it is timed on).
-        CHUNK = args.chunk or (4 if args.tiny else 128)
-        S = max((n_frames + CHUNK - 1) // CHUNK, 1)
-        nC = S * CHUNK
-        if args.multi_coupled is None:
-            mlist = [2] if args.tiny else [4, 8]
-        else:
-            mlist = [int(x) for x in args.multi_coupled.split(",") if x]
-        B_max = max(mlist + [1])
-
-        params_c, weight_src = wmod.load_or_init_superpoint(
-            height=c.height, width=c.width
+    # Stage-sum fallback headline (only used if coupled failed) + record.
+    if detail.get("frontend_fps") and detail.get("tracking_fps") and detail.get(
+        "dense_fusion_fps"
+    ):
+        per_frame = (
+            1.0 / detail["frontend_fps"]
+            + 1.0 / detail["tracking_fps"]
+            + 1.0 / detail["dense_fusion_fps"]
+            + backend_s / n_frames
         )
-        img_seqs = [
-            synthetic.make_image_sequence(
-                nC, width=c.width, height=c.height,
-                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
-                seed=s, num_landmarks=(600 if args.tiny else 6000),
-                radius=(2.0 if args.tiny else 3.0), with_rgb=(s == 0),
-            )
-            for s in range(B_max)
-        ]
-        d0 = img_seqs[0]
-        H, W = c.height, c.width
-        gray1 = jnp.asarray(d0["gray"].reshape(S, CHUNK, H, W))
-        dep1 = jnp.asarray(d0["depth_u16"].reshape(S, CHUNK, H, W))
-        rgb1 = jnp.asarray(d0["rgb"].reshape(S, CHUNK, H, W, 3))
-        tsc1 = jnp.asarray(
-            d0["timestamps"].reshape(S, CHUNK).astype(np.float32)
-        )
-        fid1 = jnp.asarray(np.arange(nC, dtype=np.int32).reshape(S, CHUNK))
-        stat1 = jnp.zeros((S, CHUNK), bool)
-        st_c0 = _init_state(cfg)
-        dn_c0 = gridhash.init_dense_map(
-            cfg.dense.hash_capacity, cfg.dense.cloud_capacity
-        )
+        detail["e2e_stage_sum_fps"] = round(1.0 / per_frame, 2)
 
-        def run_coupled_once():
-            st_f, _, outs = coupled_mod.run_coupled(
-                params_c, st_c0, dn_c0, gray1, dep1, rgb1, tsc1, fid1,
-                stat1, cfg,
-            )
-            return st_f, outs
-
-        @jax.jit
-        def coupled_checksum(params_c, st0, dn0, gray, dep, rgb, tsc,
-                             fid, stat):
-            """The timed program: identical compute, scalar output. A
-            checksum over every result leaf (trajectory, dense cloud,
-            final state) keeps all of it live — returning the buffers
-            themselves is not timed because the relay's output
-            mirroring adds ~1.2 ms/frame of non-compute (bisect F vs
-            G/H); on a directly-attached host outputs stay in HBM.
-            (All arrays are ARGUMENTS: closure arrays embed as HLO
-            constants and blow the relay's compile-request size cap.)"""
-            st_f, dn_f, outs = coupled_mod.run_coupled(
-                params_c, st0, dn0, gray, dep, rgb, tsc, fid, stat, cfg
-            )
-            chk = jnp.float32(0.0)
-            for leaf in jax.tree.leaves(outs):
-                chk = chk + jnp.sum(leaf.astype(jnp.float32))
-            for leaf in jax.tree.leaves(dn_f):
-                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
-            for leaf in jax.tree.leaves(st_f):
-                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
-            return chk
-
-        _note("coupled e2e stage (compile on first run)")
-        st_cf, outs_c = run_coupled_once()  # warm + diagnostics
-        ts_coupled = _timed(
-            lambda: coupled_checksum(
-                params_c, st_c0, dn_c0, gray1, dep1, rgb1, tsc1, fid1,
-                stat1,
-            ),
-            float,
-        )
-        dt_c = float(np.median(ts_coupled))
-        coupled_sprd = _spread(ts_coupled)
-        coupled_fps = nC / dt_c
-
-        def coupled_ates(dx, st_f, outs):
-            """(raw, RTS-smoothed, smoothed+backend) ATE RMSE — the
-            reference always RTS-smooths before evaluating
-            (`src/main.cpp:1311`), so `smoothed` is the parity metric;
-            `backend` adds the gain-gated PGO/BA pass the headline clock
-            already pays for."""
-            res = pipeline.result_from_outputs(
-                st_f, outs, keep_refine=cfg.ekf.smooth_keep_refine,
-                rts_parallel=cfg.ekf.rts_parallel,
-            )
-            res_b = pipeline.run_backend(res, cfg)
-
-            def _ate(t_est):
-                return float(
-                    ate_mod2.compute_ate(
-                        dx["timestamps"], np.asarray(t_est),
-                        dx["timestamps"], dx["t"], with_scale=False,
-                    ).rmse
-                )
-
-            rpe = ate_mod2.compute_rpe(
-                dx["timestamps"], np.asarray(res.t_smoothed),
-                dx["timestamps"], dx["t"],
-            ).rmse
-            return (
-                _ate(res.t), _ate(res.t_smoothed), _ate(res_b.t_smoothed),
-                float(rpe),
-            )
-
-        # ATE over multiple rendered worlds (same compiled program —
-        # only the scene changes): a single run's ATE on this pipeline
-        # is numerics-sensitive at the ±0.07 m level (conv-batch tiling
-        # perturbs scores; keypoint ties flip; SLAM is chaotic in that
-        # perturbation), so report median-of-3 with the spread.
-        ate_rows = [coupled_ates(d0, st_cf, outs_c)]
-        for s_extra in (1, 2):
-            if s_extra >= len(img_seqs):
-                break
-            dx = img_seqs[s_extra]
-            g_x = jnp.asarray(dx["gray"].reshape(S, CHUNK, H, W))
-            d_x = jnp.asarray(dx["depth_u16"].reshape(S, CHUNK, H, W))
-            t_x = jnp.asarray(
-                dx["timestamps"].reshape(S, CHUNK).astype(np.float32)
-            )
-            st_x, _, outs_x = coupled_mod.run_coupled(
-                params_c, st_c0, dn_c0, g_x, d_x, rgb1, t_x, fid1,
-                stat1, cfg,
-            )
-            ate_rows.append(coupled_ates(dx, st_x, outs_x))
-            del g_x, d_x, st_x, outs_x
-        ates_raw = [r[0] for r in ate_rows]
-        ates_smooth = [r[1] for r in ate_rows]
-        ates_backend = [r[2] for r in ate_rows]
-        rpes = [r[3] for r in ate_rows]
-        coupled_diag = {
-            "ate_rmse_coupled_m": round(float(np.median(ates_smooth)), 4),
-            "rpe_rmse_coupled_m": round(float(np.median(rpes)), 4),
-            "ate_coupled_seeds_m": [round(a, 4) for a in ates_smooth],
-            "ate_coupled_raw_m": round(float(np.median(ates_raw)), 4),
-            "ate_coupled_after_backend_m": round(
-                float(np.median(ates_backend)), 4
-            ),
-            "weight_source": str(weight_src).split("/")[-1],
-            "frames": nC,
-            "branch_counts": {
-                "keyframes": int(np.asarray(outs_c.is_keyframe).sum()),
-                "bridged": int(np.asarray(outs_c.bridged).sum()),
-                "recovered": int(np.asarray(outs_c.recovered).sum()),
-                "essential_frames": int(
-                    (~np.asarray(outs_c.used_3d3d)
-                     & np.asarray(outs_c.tracking_ok)).sum()
-                ),
-                "tracked_frac": round(
-                    float(np.asarray(outs_c.tracking_ok)[1:].mean()), 4
-                ),
-                "mean_matches": round(
-                    float(np.asarray(outs_c.num_matches)[1:].mean()), 1
-                ),
-            },
-        }
-        del gray1, dep1, rgb1
-
-        # Measured multi-sequence coupled runs (B independent streams).
+    # ---- Multi-sequence coupled runs (B independent streams, measured) ----
+    def _stage_multi_coupled():
         from vslam_tpu.parallel import mesh as pmesh2
 
-        # Frame data is ~0.9 MB/frame (u8 gray + u16 depth); cap resident
-        # frames so large B fits HBM next to the maps/states. The cap is
-        # REPORTED per run (frames_per_seq) — no silent truncation.
+        multi_measured = {}
+        detail["multi_coupled_measured"] = multi_measured
         frame_budget = 4 * nC
         for B in mlist:
             if B <= 1:
                 continue
-            # Keep the frontend conv batch (C_m*B) near the single-seq
-            # CHUNK so a large default chunk doesn't blow HBM at large B.
-            C_m = max(CHUNK // B, 8)
+            if budget_left() < E(140, 30):
+                detail["skipped_stages"].append(f"multi_coupled_B{B} (budget)")
+                continue
+            C_m = max(CHUNK // B, 8) if not args.tiny else max(CHUNK // B, 2)
             n_m = min(nC, (frame_budget // B) // C_m * C_m)
-            _note(f"multi-coupled B={B}, {n_m} frames/seq, chunk {C_m}")
+            _note(f"  multi-coupled B={B}, {n_m} frames/seq, chunk {C_m}")
             S_m = n_m // C_m
             try:
+                seqs_b = [world(s) for s in range(min(B, 4))]
+                # Reuse rendered worlds cyclically past 4: member data
+                # repeats, but members evolve independent states and the
+                # per-member compute is data-independent — throughput is
+                # unaffected, and world rasterization is the single most
+                # expensive host step in this bench.
                 grayB = jnp.asarray(
-                    np.stack([s["gray"][:n_m] for s in img_seqs[:B]], axis=1)
-                    .reshape(S_m, C_m, B, H, W)
+                    np.stack(
+                        [seqs_b[s % len(seqs_b)]["gray"][:n_m] for s in range(B)],
+                        axis=1,
+                    ).reshape(S_m, C_m, B, H, W)
                 )
                 depB = jnp.asarray(
                     np.stack(
-                        [s["depth_u16"][:n_m] for s in img_seqs[:B]], axis=1
+                        [seqs_b[s % len(seqs_b)]["depth_u16"][:n_m] for s in range(B)],
+                        axis=1,
                     ).reshape(S_m, C_m, B, H, W)
                 )
                 tsB = jnp.asarray(
                     np.stack(
                         [
-                            s["timestamps"][:n_m].astype(np.float32)
-                            for s in img_seqs[:B]
+                            seqs_b[s % len(seqs_b)]["timestamps"][:n_m].astype(
+                                np.float32
+                            )
+                            for s in range(B)
                         ],
                         axis=1,
                     ).reshape(S_m, C_m, B)
@@ -504,9 +801,7 @@ def main():
                         chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
                     return chk
 
-                _mc_args = (
-                    params_c, stsB, dnB, grayB, depB, tsB, fidB, statB
-                )
+                _mc_args = (params_c, stsB, dnB, grayB, depB, tsB, fidB, statB)
                 ts_m = _timed(
                     lambda: run_multi_checksum(*_mc_args), float,
                     iters=max(TIMED_ITERS - 2, 2),
@@ -523,17 +818,29 @@ def main():
                     "error": type(e).__name__ + ": " + str(e)[:160]
                 }
             finally:
-                # Release device buffers before the next (bigger) B —
-                # including _mc_args, which otherwise keeps every stack
-                # alive through the next B's allocation (doubling peak HBM).
                 grayB = depB = tsB = fidB = statB = stsB = dnB = None  # noqa: F841
                 _mc_args = None  # noqa: F841
 
-    # ---------------- Batched multi-sequence tracking ----------------
-    _note("batched multi-sequence tracking")
-    multi_fps = None
-    multi_sprd = None
-    if multi_b:
+    if mlist:
+        stage("multi_coupled", E(150, 40), _stage_multi_coupled)
+
+    # ---- Oracle ATE + backend on feature-level synthetic ----
+    def _stage_oracle():
+        seq = _oracle_seq()
+        result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+        result_b = pipeline.run_backend(result, cfg)
+        ate_backend = ate_mod.compute_ate(
+            result_b.timestamps, result_b.t_smoothed, seq.timestamps, seq.t,
+            with_scale=False,
+        )
+        detail["ate_rmse_synthetic_m"] = round(ate_res.rmse, 4)
+        detail["ate_rmse_after_backend_m"] = round(ate_backend.rmse, 4)
+
+    stage("oracle", E(120, 40), _stage_oracle)
+
+    # ---- Batched multi-sequence tracking (feature-level) ----
+    def _stage_multi_tracking():
+        from vslam_tpu.core.tracking_batched import batched_tracking_scan
         from vslam_tpu.parallel import mesh as pmesh
 
         B = multi_b
@@ -542,8 +849,7 @@ def main():
                 num_frames=n_frames,
                 max_keypoints=cfg.frontend.max_keypoints,
                 desc_dim=cfg.frontend.descriptor_dim,
-                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
-                width=c.width, height=c.height,
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=W, height=H,
                 seed=s, num_landmarks=n_landmarks,
             )
             for s in range(B)
@@ -553,8 +859,6 @@ def main():
             *[pipeline.features_from_synthetic(s) for s in seqs],
         )
         mstates = pmesh.replicate_state(cfg, B)
-
-        from vslam_tpu.core.tracking_batched import batched_tracking_scan
 
         @jax.jit
         def multi_chained(states, frames):
@@ -566,113 +870,86 @@ def main():
             iters=max(TIMED_ITERS - 2, 2),
         )
         dt_multi = float(np.median(ts))
-        multi_sprd = _spread(ts)
-        multi_fps = B * n_frames / dt_multi
-        del mframes, mstates  # free HBM
+        detail["multi_seq_tracking_fps"] = round(B * n_frames / dt_multi, 2)
+        detail["multi_seq_batch"] = B
+        detail["stage_spread"]["multi"] = round(_spread(ts), 4)
 
-    # ---------------- ATE oracle + backend passes ----------------
-    _note("ATE oracle + backend")
-    from vslam_tpu.eval import ate as ate_mod
+    if multi_b:
+        stage("multi_tracking", E(150, 40), _stage_multi_tracking)
 
-    result, ate_res = pipeline.run_synthetic(seq, cfg, use_imu=True)
+    # ---- Extended ATE evidence: >= 10 rendered worlds ----
+    def _stage_ate_wide():
+        for s in range(3, 10):
+            if budget_left() < E(90, 20):
+                detail["skipped_stages"].append(f"ate_wide_seed{s} (budget)")
+                break
+            _ate_seed(s)
+        _finish_ates()
 
-    # Backend (PGO + windowed BA, fused into ONE device program) runs once
-    # per sequence; amortize its wall time into the per-frame cost
-    # (reference ships local BA disabled, Config.h:99 — ours is on for
-    # this measurement). Warm first.
-    result_b = pipeline.run_backend(result, cfg)  # warm (compile)
-    ts_backend = []
-    for _ in range(TIMED_ITERS):
-        t0 = time.perf_counter()
-        result_b = pipeline.run_backend(result, cfg)
-        ts_backend.append(time.perf_counter() - t0)
-    backend_s = float(np.median(ts_backend))
-    ate_backend = ate_mod.compute_ate(
-        result_b.timestamps, result_b.t_smoothed, seq.timestamps, seq.t,
-        with_scale=False,
-    )
+    stage("ate_wide", E(100, 25), _stage_ate_wide)
 
-    # ---------------- Combined ----------------
-    per_frame = (
-        (0.0 if args.no_frontend else 1.0 / sp_fps)
-        + 1.0 / track_fps
-        + (0.0 if args.no_dense else 1.0 / dense_fps)
-        + backend_s / n_frames
-    )
-    stage_sum_fps = 1.0 / per_frame
-
-    # Headline: the MEASURED coupled program + once-per-sequence backend
-    # amortized per frame. Falls back to the stage-sum when --no-coupled.
-    if coupled_fps is not None:
-        nC = coupled_diag["frames"]
-        fps = 1.0 / (1.0 / coupled_fps + backend_s / nC)
-        e2e_iters = [
-            ts_coupled[min(i, len(ts_coupled) - 1)] / nC + ts_backend[i] / nC
-            for i in range(TIMED_ITERS)
-        ]
-    else:
-        fps = stage_sum_fps
-        e2e_iters = []
-        for i in range(TIMED_ITERS):
-            pf_i = (
-                (0.0 if args.no_frontend else ts_sp[i] / (n_chunks * sp_batch))
-                + ts_track[i] / n_frames
-                + (0.0 if args.no_dense else ts_dense[i] / n_frames)
-                + ts_backend[i] / n_frames
-            )
-            e2e_iters.append(pf_i)
-    spread = _spread(e2e_iters)
-
-    # Achieved TFLOP/s from the analytic FLOP model (utils/flops.py) so
-    # MFU claims are auditable.
-    from vslam_tpu.utils import flops as flops_mod
-
-    sp_flops = flops_mod.superpoint_flops_per_frame(c.height, c.width)
-    tr_flops = flops_mod.tracking_flops_per_frame(
-        cfg.frontend.max_keypoints, cfg.frontend.descriptor_dim,
-        cfg.map.map_capacity,
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip end-to-end MEASURED (uint8 frames -> SuperPoint -> track -> dense fusion, one program; + PGO/BA backend)",
-                "value": round(fps, 2),
-                "unit": "fps",
-                "vs_baseline": round(fps / 200.0, 3),
-                "detail": {
-                    "device": str(dev),
-                    "e2e_measured_fps": None if coupled_fps is None else round(coupled_fps, 2),
-                    "e2e_stage_sum_fps": round(stage_sum_fps, 2),
-                    "coupled": coupled_diag or None,
-                    "multi_coupled_measured": multi_measured or None,
-                    "frontend_fps": None if args.no_frontend else round(sp_fps, 2),
-                    "tracking_fps": round(track_fps, 2),
-                    "dense_fusion_fps": None if args.no_dense else round(dense_fps, 2),
-                    "multi_seq_tracking_fps": None if multi_fps is None else round(multi_fps, 2),
-                    "multi_seq_batch": multi_b or None,
-                    "frames": n_frames,
-                    "backend_s": round(backend_s, 3),
-                    "timed_iters": TIMED_ITERS,
-                    "fps_spread": round(spread, 4),
-                    "stage_spread": {
-                        "frontend": round(sp_sprd, 4),
-                        "tracking": round(track_sprd, 4),
-                        "dense": round(dense_sprd, 4),
-                        "coupled": round(coupled_sprd, 4),
-                        "multi": None if multi_sprd is None else round(multi_sprd, 4),
-                    },
-                    "frontend_tflops": None if args.no_frontend else round(
-                        sp_flops * sp_fps / 1e12, 2
-                    ),
-                    "tracking_tflops": round(tr_flops * track_fps / 1e12, 2),
-                    "flop_model": flops_mod.describe(),
-                    "ate_rmse_synthetic_m": round(ate_res.rmse, 4),
-                    "ate_rmse_after_backend_m": round(ate_backend.rmse, 4),
-                },
-            }
+    # ---- LONG run at the reference's true sequence scale ----
+    def _stage_long():
+        S_l = (long_frames + CHUNK - 1) // CHUNK
+        nL = S_l * CHUNK
+        ld = synthetic.make_stress_image_sequence(
+            nL, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+            seed=202, num_landmarks=lm_img, loops=2.5,
+            pause=(0.3, 0.02), dropout=(0.6, 0.01),
         )
-    )
+        stat_np = pipeline.detect_stationary(
+            ld["accel"], ld["timestamps"],
+            window=cfg.ekf.stationary_window_s,
+            threshold=cfg.ekf.stationary_accel_std,
+        )
+        gravity, h0 = pipeline.compute_gravity_direction(
+            ld["accel"], np.eye(3, dtype=np.float32)
+        )
+        st_l0 = init_state(cfg, gravity=gravity, initial_height=h0)
+
+        def chunkedL(x, dtype=None):
+            a = np.asarray(x)
+            if dtype is not None:
+                a = a.astype(dtype)
+            return jnp.asarray(a.reshape((S_l, CHUNK) + a.shape[1:]))
+
+        grayL = chunkedL(ld["gray"])
+        depL = chunkedL(ld["depth_u16"])
+        tsL = chunkedL(ld["timestamps"], np.float32)
+        fidL = chunkedL(np.arange(nL, dtype=np.int32))
+        statL = chunkedL(stat_np)
+        st_lf, _, outs_l = run_world(grayL, depL, None, tsL, fidL, statL,
+                                     st0=st_l0)
+        res_l = pipeline.result_from_outputs(
+            st_lf, outs_l, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        res_lb = pipeline.run_backend(res_l, cfg)
+        ate_l = float(ate_mod.compute_ate(
+            ld["timestamps"], res_l.t_smoothed, ld["timestamps"], ld["t"],
+            with_scale=False,
+        ).rmse)
+        ate_lb = float(ate_mod.compute_ate(
+            ld["timestamps"], res_lb.t_smoothed, ld["timestamps"], ld["t"],
+            with_scale=False,
+        ).rmse)
+        detail["long_run"] = {
+            "frames": nL,
+            "ate_rmse_m": round(ate_l, 4),
+            "ate_after_backend_m": round(ate_lb, 4),
+            "branch_counts": {
+                "keyframes": int(np.asarray(outs_l.is_keyframe).sum()),
+                "bridged": int(np.asarray(outs_l.bridged).sum()),
+                "recovered": int(np.asarray(outs_l.recovered).sum()),
+                "stationary_frames": int(stat_np.sum()),
+                "loop_constraints": int(np.asarray(st_lf.loops.valid).sum()),
+                "tracked_frac": round(
+                    float(np.asarray(outs_l.tracking_ok)[1:].mean()), 4
+                ),
+            },
+        }
+
+    stage("long", E(420, 60), _stage_long)
 
 
 if __name__ == "__main__":

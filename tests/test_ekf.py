@@ -160,6 +160,63 @@ def test_rts_assoc_matches_sequential_with_invalid_frames():
     )
 
 
+def test_rts_assoc_matches_f64_reference_long_horizon():
+    """Production smooths N~896 frames: bound the f32 round-off drift of
+    the reassociated 6x6 compositions against an f64 NumPy reference of
+    the sequential recursion (`Slam.cpp:1761-1810`). Hardening for the
+    parallel path (ADVICE r3); the short-horizon tests pin assoc==seq."""
+    import jax
+
+    N = 896
+    rng = np.random.default_rng(7)
+    v = np.array([0.15, -0.08, 0.04])
+    dts = (0.08 + 0.04 * rng.random(N)).astype(np.float32)
+    pos_true = np.cumsum(v[None, :] * dts[:, None].astype(np.float64), axis=0)
+    zs = (pos_true + rng.normal(0, 0.05, (N, 3))).astype(np.float32)
+
+    def step(st, inp):
+        dt, z = inp
+        st = ekf_ops.predict(st, dt)
+        x_pred, P_pred = st.x, st.P
+        st = ekf_ops.update_visual(st, z, 0.05)
+        return st, (x_pred, P_pred, st.x, st.P)
+
+    st0 = ekf_ops.initialize(jnp.zeros(3), 0.0)
+    _, (xp, Pp, xf, Pf) = jax.jit(
+        lambda st, xs: jax.lax.scan(step, st, xs)
+    )(st0, (jnp.asarray(dts), jnp.asarray(zs)))
+    stacked = ekf_ops.EKFSnapshot(
+        x_pred=xp, P_pred=Pp, x_filt=xf, P_filt=Pf,
+        dt=jnp.asarray(dts), frame_id=jnp.arange(N, dtype=jnp.int32),
+    )
+    valid = jnp.ones(N, dtype=bool)
+
+    # f64 sequential reference of the same recursion.
+    x_pred64 = np.asarray(xp, np.float64)
+    P_pred64 = np.asarray(Pp, np.float64)
+    x_filt64 = np.asarray(xf, np.float64)
+    P_filt64 = np.asarray(Pf, np.float64)
+    xs64 = x_filt64.copy()
+    Ps = P_filt64[N - 1]
+    for k in range(N - 2, -1, -1):
+        F = np.eye(6)
+        F[:3, 3:] = np.eye(3) * dts[k + 1]
+        F[3:, 3:] = np.eye(3) * 0.95
+        C = P_filt64[k] @ F.T @ np.linalg.inv(P_pred64[k + 1])
+        xs64[k] = x_filt64[k] + C @ (xs64[k + 1] - x_pred64[k + 1])
+        Ps = P_filt64[k] + C @ (Ps - P_pred64[k + 1]) @ C.T
+    ref = xs64[:, :3]
+
+    par = np.asarray(ekf_ops.rts_smooth_assoc(stacked, valid), np.float64)
+    seq = np.asarray(ekf_ops.rts_smooth(stacked, valid), np.float64)
+    err_par = np.abs(par - ref).max()
+    err_seq = np.abs(seq - ref).max()
+    # Both f32 paths stay within millimeter-scale round-off of the f64
+    # truth over the full horizon (positions reach ~10 m).
+    assert err_seq < 5e-3, err_seq
+    assert err_par < 5e-3, err_par
+
+
 def test_rts_assoc_single_frame():
     stacked, valid = _make_snapshots(1)
     par = np.asarray(ekf_ops.rts_smooth_assoc(stacked, valid))

@@ -243,7 +243,15 @@ def rts_smooth_assoc(snapshots: EKFSnapshot, valid, decay=0.95):
     F = jax.vmap(lambda dt: _transition(dt, jnp.asarray(decay, dtype), dtype))(
         snapshots.dt[1:]
     )
-    P_pred_inv = jnp.linalg.pinv(snapshots.P_pred[1:])
+    # P_pred is SPD by construction (Joseph-form updates + Q >= 0), so the
+    # gains use the unrolled batched Cholesky inverse: TPU's batched
+    # small-matrix SVD (what pinv lowers to) is slow AND inaccurate
+    # (CLAUDE.md) and dominated this pass (~33 ms of the 896-frame
+    # smoother, BENCH_NOTES). The sequential `rts_smooth` keeps SVD-pinv
+    # for cv::DECOMP_SVD parity (`Slam.cpp:1761-1810`).
+    from vslam_tpu.ops.linalg import inv_spd_small
+
+    P_pred_inv = inv_spd_small(snapshots.P_pred[1:], shift_rel=1e-7)
     C = jnp.einsum(
         "nij,nkj,nkl->nil", snapshots.P_filt[: N - 1], F, P_pred_inv
     )

@@ -421,6 +421,27 @@ def smallest_eigvec_psd(AtA, iters=3, shift_rel=1e-5):
     return v
 
 
+def inv_spd_small(H, eps=1e-20, shift_rel=0.0):
+    """Batched inverse of small SPD (..., N, N) via the unrolled Cholesky:
+    factor once, solve the N identity columns (pure element-wise ops,
+    N static). TPU's batched `jnp.linalg.pinv` lowers to the slow +
+    inaccurate small-batched SVD custom call (CLAUDE.md) — on the RTS
+    smoother's (N-1, 6, 6) P_pred inverses the SVD dominated the whole
+    pass (~33 ms of the parallel smoother, BENCH_NOTES). `shift_rel` adds
+    a trace-relative diagonal shift for near-singular inputs."""
+    N = H.shape[-1]
+    dtype = H.dtype
+    if shift_rel:
+        tr = jnp.trace(H, axis1=-2, axis2=-1)
+        H = H + (shift_rel * jnp.maximum(tr, 1e-30) / N)[..., None, None] * jnp.eye(
+            N, dtype=dtype
+        )
+    L = _cholesky_factor_small(H, eps)
+    eye = jnp.eye(N, dtype=dtype)
+    cols = [_cholesky_solve_factored(L, eye[j]) for j in range(N)]
+    return jnp.stack(cols, axis=-1)
+
+
 def cholesky_solve_small(H, g, eps=1e-20):
     """Solve H x = g for small SPD H (..., N, N) with N <= ~8, batched.
 
