@@ -234,6 +234,7 @@ def main():
 
 
 def _run_stages(args, detail, hl, stage, budget):
+    _note("init: importing jax")
     import jax
 
     def budget_left():
@@ -256,8 +257,10 @@ def _run_stages(args, detail, hl, stage, budget):
     from vslam_tpu.models import weights as wmod
     from vslam_tpu.ops import gridhash, nms
 
+    _note("init: device discovery (a dead/slow axon tunnel blocks here)")
     dev = jax.devices()[0]
     detail["device"] = str(dev)
+    _note(f"init: device = {dev}")
 
     if args.tiny:
         cfg = tiny_test_config()

@@ -115,6 +115,58 @@ def sharded_tracking_scan(states: TrackState, frames: FrameFeatures,
     return fn(states, frames)
 
 
+def sharded_coupled_run(params, states, dense, gray, depth_u16, timestamps,
+                        frame_ids, stationary, config: SlamConfig,
+                        mesh: Mesh, axis: str = "seq", seed: int = 42):
+    """The FULL coupled pipeline — uint8 frames -> SuperPoint -> decode ->
+    keypoint depth -> tracking scan -> dense voxel fusion
+    (`core.coupled.run_coupled`) — one sequence per device via shard_map.
+
+    This is the production multi-chip configuration: pure data
+    parallelism over independent sequences (SURVEY §2 checklist), each
+    device running the complete single-sequence program so data-dependent
+    branches stay efficient `lax.cond`s. SuperPoint parameters are
+    replicated (`P()`); all sequence data is sharded on the leading batch
+    axis. No cross-device communication is needed inside the pipeline —
+    collectives only aggregate diagnostics (`batched_diagnostics`).
+
+    Args have the single-sequence `run_coupled` layout plus a leading
+    batch axis == mesh size: gray/depth (B, S, C, H, W), timestamps/
+    frame_ids/stationary (B, S, C); states/dense leaves (B, ...).
+    Returns (states, dense, outs) with leaves (B, ...)/(B, S*C, ...).
+    """
+    from vslam_tpu.core import coupled as coupled_mod
+
+    B = gray.shape[0]
+    n_dev = mesh.devices.size
+    if B != n_dev:
+        raise ValueError(
+            f"sharded_coupled_run needs batch == mesh size (got B={B}, "
+            f"mesh={n_dev}); use run_coupled_batched for within-device batching"
+        )
+
+    def per_device(params, st_b, dn_b, g_b, d_b, ts_b, fid_b, stat_b):
+        st = jax.tree.map(lambda x: x[0], st_b)
+        dn = jax.tree.map(lambda x: x[0], dn_b)
+        st_f, dn_f, outs = coupled_mod.run_coupled(
+            params, st, dn, g_b[0], d_b[0], None, ts_b[0], fid_b[0],
+            stat_b[0], config, seed,
+        )
+        expand = lambda t: jax.tree.map(lambda x: x[None], t)  # noqa: E731
+        return expand(st_f), expand(dn_f), expand(outs)
+
+    sh = P(axis)
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), sh, sh, sh, sh, sh, sh, sh),
+        out_specs=(sh, sh, sh),
+        check_vma=False,
+    )
+    return fn(params, states, dense, gray, depth_u16, timestamps,
+              frame_ids, stationary)
+
+
 def batched_diagnostics(outputs, mesh: Mesh, axis="seq"):
     """Cross-sequence metric aggregation — the lone collective."""
 
