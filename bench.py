@@ -299,19 +299,42 @@ def _run_stages(args, detail, hl, stage, budget):
     H, W = c.height, c.width
 
     # Lazily generated rendered worlds, shared by the ATE seeds, the
-    # multi-coupled members and the long run (rasterizing a 896-frame
-    # world costs ~1 min of host time; nothing should pay it twice).
+    # multi-coupled members and the long run. Rasterizing a 896-frame
+    # world costs ~2 min of single-core host time, so worlds are ALSO
+    # disk-cached (`data/worldcache.py`, keyed by every generation
+    # parameter + synthetic.DATA_VERSION) — the driver's budgeted run
+    # loads them in seconds (`scripts/pregen_worlds.py` pre-populates).
+    from vslam_tpu.data import worldcache as wc
+
     _worlds = {}
+    _radius = 2.0 if args.tiny else 3.0
+
+    def _world_est(seed, gen_est, cached_est=20):
+        """Budget estimate for a cached dataset: cheap when on disk."""
+        tag = wc.image_world_tag(nC, W, H, seed, lm_img, _radius)
+        return cached_est if wc.is_cached(tag) else gen_est
+
+    def _stress_est(variant, n, gen_est, cached_est=20):
+        tag = wc.stress_world_tag(n, W, H, lm_img, variant)
+        return cached_est if wc.is_cached(tag) else gen_est
 
     def world(seed):
         if seed not in _worlds:
-            _note(f"  rasterizing world seed={seed} ({nC} frames)")
-            _worlds[seed] = synthetic.make_image_sequence(
+            _note(f"  world seed={seed} ({nC} frames; disk-cached)")
+            d = wc.image_world(
                 nC, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
-                seed=seed, num_landmarks=lm_img,
-                radius=(2.0 if args.tiny else 3.0), with_rgb=(seed == 0),
+                seed=seed, num_landmarks=lm_img, radius=_radius,
             )
+            if seed == 0:
+                d["rgb"] = np.repeat(d["gray"][..., None], 3, -1)
+            _worlds[seed] = d
         return _worlds[seed]
+
+    def stress_world(variant, n, **kw):
+        return wc.stress_world(
+            variant, n, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx,
+            cy=c.cy, num_landmarks=lm_img, **kw,
+        )
 
     def chunked(x, dtype=None):
         a = np.asarray(x)
@@ -485,14 +508,15 @@ def _run_stages(args, detail, hl, stage, budget):
             _ate_seed(s)
         _finish_ates()
 
-    stage("ate3", E(170, 30), _stage_ate3)
+    stage(
+        "ate3",
+        _world_est(1, E(160, 12)) + _world_est(2, E(160, 12)) + E(50, 15),
+        _stage_ate3,
+    )
 
     # ---- STRESS: stationary pause + texture dropout, same program ----
     def _stage_stress():
-        sd = synthetic.make_stress_image_sequence(
-            nC, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
-            seed=101, num_landmarks=lm_img, loops=1.0,
-        )
+        sd = stress_world("s101_l1", nC, seed=101, loops=1.0)
         stat_np = pipeline.detect_stationary(
             sd["accel"], sd["timestamps"],
             window=cfg.ekf.stationary_window_s,
@@ -555,7 +579,11 @@ def _run_stages(args, detail, hl, stage, budget):
             },
         }
 
-    stage("stress", E(170, 40), _stage_stress)
+    stage(
+        "stress",
+        _stress_est("s101_l1", nC, E(200, 25)) + E(60, 15),
+        _stage_stress,
+    )
 
     # ---- MONO: all-invalid depth -> essential + scale chain, same program ----
     def _stage_mono():
@@ -883,21 +911,20 @@ def _run_stages(args, detail, hl, stage, budget):
     # ---- Extended ATE evidence: >= 10 rendered worlds ----
     def _stage_ate_wide():
         for s in range(3, 10):
-            if budget_left() < E(90, 20):
+            if budget_left() < _world_est(s, E(160, 20)) + E(20, 10):
                 detail["skipped_stages"].append(f"ate_wide_seed{s} (budget)")
                 break
             _ate_seed(s)
         _finish_ates()
 
-    stage("ate_wide", E(100, 25), _stage_ate_wide)
+    stage("ate_wide", E(60, 25), _stage_ate_wide)
 
     # ---- LONG run at the reference's true sequence scale ----
     def _stage_long():
         S_l = (long_frames + CHUNK - 1) // CHUNK
         nL = S_l * CHUNK
-        ld = synthetic.make_stress_image_sequence(
-            nL, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
-            seed=202, num_landmarks=lm_img, loops=2.5,
+        ld = stress_world(
+            "s202_l2.5", nL, seed=202, loops=2.5,
             pause=(0.3, 0.02), dropout=(0.6, 0.01),
         )
         stat_np = pipeline.detect_stationary(
@@ -952,7 +979,13 @@ def _run_stages(args, detail, hl, stage, budget):
             },
         }
 
-    stage("long", E(420, 60), _stage_long)
+    S_long = (long_frames + CHUNK - 1) // CHUNK
+    stage(
+        "long",
+        _stress_est("s202_l2.5", S_long * CHUNK, E(420, 35), cached_est=40)
+        + E(120, 25),
+        _stage_long,
+    )
 
 
 if __name__ == "__main__":

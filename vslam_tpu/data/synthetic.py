@@ -22,6 +22,10 @@ from typing import Optional
 
 import numpy as np
 
+# Bump when any renderer / trajectory / world generator changes output:
+# consumers that disk-cache rendered sequences (bench.py) key on this.
+DATA_VERSION = 1
+
 
 @dataclass
 class SyntheticWorld:
