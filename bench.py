@@ -113,8 +113,8 @@ def main():
     ap.add_argument(
         "--stages", default="",
         help="comma-separated subset of optional stages to run (default all): "
-        "ate3,stress,mono,frontend,tracking,dense,multi_coupled,oracle,"
-        "multi_tracking,ate_wide,long",
+        "ate3,stress,mono,noise,frontend,tracking,dense,multi_coupled,"
+        "oracle,multi_tracking,ate_wide,long",
     )
     ap.add_argument(
         "--multi", type=int, default=-1,
@@ -620,6 +620,35 @@ def _run_stages(args, detail, hl, stage, budget):
         detail["mono_ate_rmse_m"] = detail["mono"]["mono_ate_rmse_sim3_m"]
 
     stage("mono", E(100, 40), _stage_mono)
+
+    # ---- NOISE: Kinect-model sensor noise on the seed-0 world ----
+    def _stage_noise():
+        d0 = world(0)
+        dn = synthetic.apply_sensor_noise(d0, seed=0)
+        g_n = chunked(dn["gray"])
+        d_n = chunked(dn["depth_u16"])
+        st_n, _, outs_n = run_world(g_n, d_n, rgb1, tsc1, fid1, stat1)
+        res_n = pipeline.result_from_outputs(
+            st_n, outs_n, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        ate_n = float(ate_mod.compute_ate(
+            d0["timestamps"], res_n.t_smoothed, d0["timestamps"], d0["t"],
+            with_scale=False,
+        ).rmse)
+        detail["noise"] = {
+            "ate_rmse_noisy_m": round(ate_n, 4),
+            "tracked_frac": round(
+                float(np.asarray(outs_n.tracking_ok)[1:].mean()), 4
+            ),
+            "mean_matches": round(
+                float(np.asarray(outs_n.num_matches)[1:].mean()), 1
+            ),
+            "model": "gray sigma=2 counts; depth sigma=1.2mm+1.9mm*(z-0.4)^2, "
+                     "2% holes (Kinect error model)",
+        }
+
+    stage("noise", E(80, 30), _stage_noise)
 
     # ---- Stage attribution: frontend ----
     def _stage_frontend():

@@ -200,6 +200,14 @@ def main():
 
     timed_scan(f"vmap track_local_map B={B}", local_map)
 
+    def local_map_batched(cr):
+        mp_idx, kp_ok, map2 = TB._track_local_map_batched(
+            states, jitter_frame(cr), cfg, states.R, states.t
+        )
+        return jnp.sum(kp_ok) * 1e-9 + cr * 0.5
+
+    timed_scan(f"batched track_local_map B={B}", local_map_batched)
+
     mp_idx0, kp_ok0, _ = jax.vmap(
         lambda s, f, R, t: T._track_local_map(s, f, cfg, R, t)
     )(states, frame, states.R, states.t)

@@ -89,3 +89,33 @@ def test_mono_no_depth_sim3_ate():
     # vs the true ~32 mm/frame) — the sim(3) fit is what mono promises.
     step_est = np.linalg.norm(np.diff(result.t_smoothed, axis=0), axis=-1)
     assert step_est[5:].mean() > 0.0  # moved at all
+
+
+def test_sensor_noise_model():
+    """Kinect-model sensor noise post-process: gray read noise at the
+    configured sigma, depth error growing with range, ~2% holes, and the
+    original dict untouched (cache-preserving)."""
+    c = tiny_test_config().camera
+    d = synthetic.make_image_sequence(
+        4, width=c.width, height=c.height, fx=c.fx, fy=c.fy, cx=c.cx,
+        cy=c.cy, seed=0, num_landmarks=600, radius=2.0, with_rgb=False,
+    )
+    g0 = d["gray"].copy()
+    dn = synthetic.apply_sensor_noise(d, seed=0)
+    np.testing.assert_array_equal(d["gray"], g0)  # input not mutated
+    g_diff = np.abs(dn["gray"].astype(int) - d["gray"].astype(int)).mean()
+    assert 1.0 < g_diff < 2.5  # mean |N(0,2)| ~ 1.6 counts
+    z = d["depth_u16"].astype(float) / 5000.0
+    zn = dn["depth_u16"].astype(float) / 5000.0
+    valid = (d["depth_u16"] > 0) & (dn["depth_u16"] > 0)
+    zm = np.median(z[valid])
+    dz = np.abs(zn - z)
+    lo = dz[valid & (z <= zm)].mean()
+    hi = dz[valid & (z > zm)].mean()
+    assert lo < hi < 0.2  # quadratic-in-range error model
+    holes = ((dn["depth_u16"] == 0) & (d["depth_u16"] > 0)).mean()
+    assert 0.01 < holes < 0.03
+    # Determinism: same seed -> same noise (bench reproducibility).
+    dn2 = synthetic.apply_sensor_noise(d, seed=0)
+    np.testing.assert_array_equal(dn["gray"], dn2["gray"])
+    np.testing.assert_array_equal(dn["depth_u16"], dn2["depth_u16"])

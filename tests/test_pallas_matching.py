@@ -130,6 +130,54 @@ def test_radius_match_fused_vmap(rng):
             np.testing.assert_allclose(np.asarray(a[b]), np.asarray(e), atol=1e-5)
 
 
+def test_radius_match_batched_kernel_agrees(rng):
+    """The batched-native kernel (ONE launch for B members, used by
+    `tracking_batched._track_local_map_batched`) == vmap of the single
+    kernel == vmap of the XLA path (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    B, M, K, D = 3, 1024, 96, 64
+    db = np.stack([unit(rng, M, D) for _ in range(B)])
+    q = np.stack([unit(rng, K, D) for _ in range(B)])
+    uv_db = rng.uniform(0, 640, (B, M, 2)).astype(np.float32)
+    uv_q = rng.uniform(0, 640, (B, K, 2)).astype(np.float32)
+    # Plant guaranteed matches: db row i copies query (i % K).
+    for b in range(B):
+        for i in range(0, 200, 7):
+            db[b, i] = q[b, i % K]
+            uv_db[b, i] = uv_q[b, i % K] + 2.0
+    vdb = rng.random((B, M)) > 0.2
+    vq = rng.random((B, K)) > 0.1
+    kw = dict(radius_px=12.0, desc_thresh=0.7)
+    arrs = (jnp.asarray(q), jnp.asarray(uv_q), jnp.asarray(vq),
+            jnp.asarray(db), jnp.asarray(uv_db), jnp.asarray(vdb))
+
+    outs_b = pm.radius_match_pallas_batched(
+        *arrs, tile=512, interpret=True, **kw
+    )
+    outs_v = jax.vmap(
+        functools.partial(pm.radius_match_pallas, tile=512, interpret=True,
+                          **kw)
+    )(*arrs)
+    for name, a, e in zip(("mp_idx", "kp_ok", "dist", "minpix"),
+                          outs_b, outs_v):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5, err_msg=name
+        )
+    outs_x = jax.vmap(
+        functools.partial(matching.radius_descriptor_match_fused, **kw)
+    )(*arrs)
+    np.testing.assert_array_equal(np.asarray(outs_b[0]), np.asarray(outs_x[0]))
+    np.testing.assert_array_equal(np.asarray(outs_b[1]), np.asarray(outs_x[1]))
+    # XLA-side matmul-identity rounding (see test_radius_match_fused_agrees).
+    np.testing.assert_allclose(
+        np.asarray(outs_b[3]), np.asarray(outs_x[3]), rtol=1e-3, atol=0.5
+    )
+    assert int(np.asarray(outs_b[1]).sum()) > 0
+
+
 def test_streaming_dispatch_cpu_fallback():
     """Off-TPU, the streaming matcher falls back to the XLA path and
     agrees with knn2_ratio_match (mutual off)."""

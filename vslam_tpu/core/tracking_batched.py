@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from vslam_tpu.config import SlamConfig
 from vslam_tpu.core.state import FrameFeatures, StepOutputs, TrackState
 from vslam_tpu.core import tracking as T
+from vslam_tpu.ops import camera as cam
 from vslam_tpu.ops import ekf as ekf_ops
+from vslam_tpu.ops import matching
 from vslam_tpu.ops import se3
 from vslam_tpu.ops.linalg import f32_matmuls
 
@@ -68,6 +70,49 @@ def _zero_outputs(B: int, dtype=jnp.float32) -> StepOutputs:
         recovered=jnp.zeros(B, bool),
         num_depth_ok=jnp.zeros(B, jnp.int32),
     )
+
+
+def _track_local_map_batched(st, frame, config, R_new, t_new):
+    """Batched `tracking._track_local_map`: the projection math is vmapped
+    (cheap elementwise) and the radius matcher — the dominant term of the
+    batched step (862 of 1985 us/iter at B=4) — runs as ONE batched Pallas
+    kernel (`matching.radius_descriptor_match_fused_batched`) instead of a
+    vmapped per-member grid. Semantics identical (`src/Slam.cpp:380-469`,
+    found counters `:1099-1104`).
+
+    NOT on the hot path: measured on v5e at production shapes
+    (B=4, M=16384, K=400, D=256) the single-launch kernel is SLIGHTLY
+    SLOWER than vmap of the single kernel (766.8 vs 711.7 us/iter) —
+    the pass is VMEM-stream bound on the 16 MB map-descriptor sweep,
+    which batching the launch cannot reduce (BENCH_NOTES "Negative
+    result: batched radius-match kernel"). Kept (with equivalence
+    pinned by tests/test_pallas_matching.py) for attribution runs via
+    scripts/bench_batched_step.py."""
+    fx, fy, cx, cy = T._intr(config)
+
+    def proj(s, R, t):
+        Rcw, tcw = se3.inverse(R, t)
+        p_c = se3.transform_points(Rcw, tcw, s.map.pos)
+        uv_mp, front = cam.project(p_c, fx, fy, cx, cy)
+        in_img = front & cam.in_image(
+            uv_mp, config.camera.width, config.camera.height
+        )
+        return uv_mp, s.map.valid & in_img
+
+    uv_mp, visible_mask = jax.vmap(proj)(st, R_new, t_new)
+    mp_idx, kp_ok, _, min_pix_d2 = matching.radius_descriptor_match_fused_batched(
+        frame.desc, frame.xy, frame.valid,
+        st.map.desc, uv_mp, visible_mask,
+        radius_px=config.map.track_search_radius_px,
+        desc_thresh=config.map.track_desc_threshold,
+    )
+    r2 = config.map.track_visibility_radius_px**2
+    found_inc = visible_mask & (min_pix_d2 < r2)
+    map2 = st.map._replace(
+        visible=st.map.visible + visible_mask.astype(jnp.int32),
+        found=st.map.found + found_inc.astype(jnp.int32),
+    )
+    return mp_idx, kp_ok, map2
 
 
 def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, keys):

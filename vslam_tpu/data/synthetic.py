@@ -530,6 +530,52 @@ def make_stress_image_sequence(
     )
 
 
+def apply_sensor_noise(
+    d,
+    seed=0,
+    gray_sigma=2.0,
+    depth_k=(0.0012, 0.0019),
+    depth_dropout=0.02,
+    depth_scale=5000.0,
+):
+    """Kinect-style sensor noise on a rendered sequence dict (POST-process:
+    applied after `worldcache` load, so noisy protocols never invalidate
+    the disk cache or re-render).
+
+      * gray: additive Gaussian read noise (sigma in 8-bit counts);
+      * depth: per-pixel Gaussian with the Kinect error model
+        sigma(z) = k0 + k1 (z - 0.4)^2 (Khoshelham & Elberink 2012:
+        ~1.5 mm at 0.5 m growing to ~3 cm at 3 m), plus `depth_dropout`
+        random invalid holes — the failure mode TUM RGB-D depth maps show
+        at grazing angles / IR shadows. u16 storage re-quantizes.
+
+    The reference evaluates on real TUM sensor data (`README.md:5`); this
+    image has no dataset egress, so the noise model is the hedge: the ATE
+    protocol runs on clean AND degraded inputs (bench `ate_noise` row).
+    Returns a new dict; only gray/depth_u16 are replaced.
+    """
+    rng = np.random.default_rng(seed + 77)
+    gray = d["gray"]
+    depth = d["depth_u16"]
+    gray_n = np.empty_like(gray)
+    depth_n = np.empty_like(depth)
+    for i in range(gray.shape[0]):  # per-frame: caps peak memory at ~4 MB
+        g = gray[i].astype(np.float32) + rng.normal(
+            0.0, gray_sigma, gray[i].shape
+        ).astype(np.float32)
+        gray_n[i] = np.clip(g, 0, 255).astype(np.uint8)
+        z = depth[i].astype(np.float32) / depth_scale
+        sigma = depth_k[0] + depth_k[1] * np.square(z - 0.4)
+        z = z + rng.normal(0.0, 1.0, z.shape).astype(np.float32) * sigma
+        holes = rng.random(z.shape) < depth_dropout
+        z = np.where((depth[i] == 0) | holes, 0.0, z)
+        depth_n[i] = np.clip(z * depth_scale, 0, 65535).astype(np.uint16)
+    out = dict(d)
+    out["gray"] = gray_n
+    out["depth_u16"] = depth_n
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Analytic depth/image rendering (for dense-fusion and image-level paths)
 # ---------------------------------------------------------------------------

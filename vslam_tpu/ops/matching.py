@@ -167,6 +167,37 @@ def radius_descriptor_match_fused(
     return mp_idx, kp_ok, dist, min_pix_d2
 
 
+def radius_descriptor_match_fused_batched(
+    desc_q, uv_q, valid_q, desc_db, uv_db, valid_db, radius_px, desc_thresh
+):
+    """Batched `radius_descriptor_match_fused`: B members, ONE kernel.
+
+    Hypothesis was that `vmap(radius_match_pallas)` (leading grid dim,
+    B=4 pays 4x the grid steps) is grid-step-latency bound; the batched
+    kernel advances all B members per db tile instead. MEASURED WRONG on
+    v5e at production shapes (B=4, M=16384, K=400, D=256): 766.8 us/iter
+    batched vs 711.7 vmapped — the pass is VMEM-stream bound on the map
+    descriptors, which a single launch cannot reduce (BENCH_NOTES
+    "Negative result: batched radius-match kernel"). Kept off the hot
+    path (`tracking_batched` uses the vmapped form); equivalence is
+    pinned by tests/test_pallas_matching.py. Off-TPU falls back to the
+    vmapped XLA path. Args carry a leading batch dim; returns
+    (mp_idx (B, K), kp_ok (B, K), dist (B, K), min_pix_d2 (B, M))."""
+    if desc_db.shape[1] >= 4096 and _on_tpu(desc_q, desc_db):
+        from vslam_tpu.ops import pallas_matching as pm
+
+        return pm.radius_match_pallas_batched(
+            desc_q, uv_q, valid_q, desc_db, uv_db, valid_db,
+            radius_px=float(radius_px), desc_thresh=float(desc_thresh),
+        )
+    return jax.vmap(
+        lambda q, uq, vq, db, udb, vdb: radius_descriptor_match_fused(
+            q, uq, vq, db, udb, vdb,
+            radius_px=radius_px, desc_thresh=desc_thresh,
+        )
+    )(desc_q, uv_q, valid_q, desc_db, uv_db, valid_db)
+
+
 def pixel_dist2_matrix(uv_db, uv_q):
     """(M, 2) x (K, 2) -> (M, K) squared pixel distances via the
     |a|^2 + |b|^2 - 2ab matmul identity — avoids materializing the
