@@ -789,6 +789,92 @@ def _run_stages(args, detail, hl, stage, budget):
         )
         detail["e2e_stage_sum_fps"] = round(1.0 / per_frame, 2)
 
+    # ---- Extended ATE evidence: >= 10 rendered worlds ----
+    # (Before multi_coupled/oracle/multi_tracking: in a budget-limited
+    # driver run the wide-ATE + long-run evidence outranks them.)
+    def _stage_ate_wide():
+        # Reserve enough budget for the `long` stage that follows — the
+        # 2,544-frame-scale run with in-workload loop closure outranks
+        # the marginal extra seed.
+        nL_res = ((long_frames + CHUNK - 1) // CHUNK) * CHUNK
+        reserve = _stress_est("s202_l2.5", nL_res, E(420, 35), cached_est=40) + E(140, 30)
+        for s in range(3, 10):
+            if budget_left() < _world_est(s, E(160, 20)) + E(20, 10) + reserve:
+                detail["skipped_stages"].append(f"ate_wide_seed{s} (budget)")
+                break
+            _ate_seed(s)
+        _finish_ates()
+
+    stage("ate_wide", E(60, 25), _stage_ate_wide)
+
+    # ---- LONG run at the reference's true sequence scale ----
+    def _stage_long():
+        S_l = (long_frames + CHUNK - 1) // CHUNK
+        nL = S_l * CHUNK
+        ld = stress_world(
+            "s202_l2.5", nL, seed=202, loops=2.5,
+            pause=(0.3, 0.02), dropout=(0.6, 0.01),
+        )
+        stat_np = pipeline.detect_stationary(
+            ld["accel"], ld["timestamps"],
+            window=cfg.ekf.stationary_window_s,
+            threshold=cfg.ekf.stationary_accel_std,
+        )
+        gravity, h0 = pipeline.compute_gravity_direction(
+            ld["accel"], np.eye(3, dtype=np.float32)
+        )
+        st_l0 = init_state(cfg, gravity=gravity, initial_height=h0)
+
+        def chunkedL(x, dtype=None):
+            a = np.asarray(x)
+            if dtype is not None:
+                a = a.astype(dtype)
+            return jnp.asarray(a.reshape((S_l, CHUNK) + a.shape[1:]))
+
+        grayL = chunkedL(ld["gray"])
+        depL = chunkedL(ld["depth_u16"])
+        tsL = chunkedL(ld["timestamps"], np.float32)
+        fidL = chunkedL(np.arange(nL, dtype=np.int32))
+        statL = chunkedL(stat_np)
+        st_lf, _, outs_l = run_world(grayL, depL, None, tsL, fidL, statL,
+                                     st0=st_l0)
+        res_l = pipeline.result_from_outputs(
+            st_lf, outs_l, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        res_lb = pipeline.run_backend(res_l, cfg)
+        ate_l = float(ate_mod.compute_ate(
+            ld["timestamps"], res_l.t_smoothed, ld["timestamps"], ld["t"],
+            with_scale=False,
+        ).rmse)
+        ate_lb = float(ate_mod.compute_ate(
+            ld["timestamps"], res_lb.t_smoothed, ld["timestamps"], ld["t"],
+            with_scale=False,
+        ).rmse)
+        detail["long_run"] = {
+            "frames": nL,
+            "ate_rmse_m": round(ate_l, 4),
+            "ate_after_backend_m": round(ate_lb, 4),
+            "branch_counts": {
+                "keyframes": int(np.asarray(outs_l.is_keyframe).sum()),
+                "bridged": int(np.asarray(outs_l.bridged).sum()),
+                "recovered": int(np.asarray(outs_l.recovered).sum()),
+                "stationary_frames": int(stat_np.sum()),
+                "loop_constraints": int(np.asarray(st_lf.loops.valid).sum()),
+                "tracked_frac": round(
+                    float(np.asarray(outs_l.tracking_ok)[1:].mean()), 4
+                ),
+            },
+        }
+
+    S_long = (long_frames + CHUNK - 1) // CHUNK
+    stage(
+        "long",
+        _stress_est("s202_l2.5", S_long * CHUNK, E(420, 35), cached_est=40)
+        + E(120, 25),
+        _stage_long,
+    )
+
     # ---- Multi-sequence coupled runs (B independent streams, measured) ----
     def _stage_multi_coupled():
         from vslam_tpu.parallel import mesh as pmesh2
@@ -937,84 +1023,6 @@ def _run_stages(args, detail, hl, stage, budget):
     if multi_b:
         stage("multi_tracking", E(150, 40), _stage_multi_tracking)
 
-    # ---- Extended ATE evidence: >= 10 rendered worlds ----
-    def _stage_ate_wide():
-        for s in range(3, 10):
-            if budget_left() < _world_est(s, E(160, 20)) + E(20, 10):
-                detail["skipped_stages"].append(f"ate_wide_seed{s} (budget)")
-                break
-            _ate_seed(s)
-        _finish_ates()
-
-    stage("ate_wide", E(60, 25), _stage_ate_wide)
-
-    # ---- LONG run at the reference's true sequence scale ----
-    def _stage_long():
-        S_l = (long_frames + CHUNK - 1) // CHUNK
-        nL = S_l * CHUNK
-        ld = stress_world(
-            "s202_l2.5", nL, seed=202, loops=2.5,
-            pause=(0.3, 0.02), dropout=(0.6, 0.01),
-        )
-        stat_np = pipeline.detect_stationary(
-            ld["accel"], ld["timestamps"],
-            window=cfg.ekf.stationary_window_s,
-            threshold=cfg.ekf.stationary_accel_std,
-        )
-        gravity, h0 = pipeline.compute_gravity_direction(
-            ld["accel"], np.eye(3, dtype=np.float32)
-        )
-        st_l0 = init_state(cfg, gravity=gravity, initial_height=h0)
-
-        def chunkedL(x, dtype=None):
-            a = np.asarray(x)
-            if dtype is not None:
-                a = a.astype(dtype)
-            return jnp.asarray(a.reshape((S_l, CHUNK) + a.shape[1:]))
-
-        grayL = chunkedL(ld["gray"])
-        depL = chunkedL(ld["depth_u16"])
-        tsL = chunkedL(ld["timestamps"], np.float32)
-        fidL = chunkedL(np.arange(nL, dtype=np.int32))
-        statL = chunkedL(stat_np)
-        st_lf, _, outs_l = run_world(grayL, depL, None, tsL, fidL, statL,
-                                     st0=st_l0)
-        res_l = pipeline.result_from_outputs(
-            st_lf, outs_l, keep_refine=cfg.ekf.smooth_keep_refine,
-            rts_parallel=cfg.ekf.rts_parallel,
-        )
-        res_lb = pipeline.run_backend(res_l, cfg)
-        ate_l = float(ate_mod.compute_ate(
-            ld["timestamps"], res_l.t_smoothed, ld["timestamps"], ld["t"],
-            with_scale=False,
-        ).rmse)
-        ate_lb = float(ate_mod.compute_ate(
-            ld["timestamps"], res_lb.t_smoothed, ld["timestamps"], ld["t"],
-            with_scale=False,
-        ).rmse)
-        detail["long_run"] = {
-            "frames": nL,
-            "ate_rmse_m": round(ate_l, 4),
-            "ate_after_backend_m": round(ate_lb, 4),
-            "branch_counts": {
-                "keyframes": int(np.asarray(outs_l.is_keyframe).sum()),
-                "bridged": int(np.asarray(outs_l.bridged).sum()),
-                "recovered": int(np.asarray(outs_l.recovered).sum()),
-                "stationary_frames": int(stat_np.sum()),
-                "loop_constraints": int(np.asarray(st_lf.loops.valid).sum()),
-                "tracked_frac": round(
-                    float(np.asarray(outs_l.tracking_ok)[1:].mean()), 4
-                ),
-            },
-        }
-
-    S_long = (long_frames + CHUNK - 1) // CHUNK
-    stage(
-        "long",
-        _stress_est("s202_l2.5", S_long * CHUNK, E(420, 35), cached_est=40)
-        + E(120, 25),
-        _stage_long,
-    )
 
 
 if __name__ == "__main__":

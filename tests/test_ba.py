@@ -6,6 +6,10 @@ from scipy.spatial.transform import Rotation
 
 from vslam_tpu.ops import ba
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 FX = FY = 300.0
 CX, CY = 159.5, 119.5
 

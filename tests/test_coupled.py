@@ -14,6 +14,10 @@ from vslam_tpu.data import synthetic
 from vslam_tpu.models import superpoint as sp
 from vslam_tpu.ops import gridhash
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def _data(cfg, n_frames, chunk, B=None, seed=0):
     c = cfg.camera

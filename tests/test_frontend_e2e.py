@@ -21,6 +21,10 @@ from vslam_tpu.core.state import FrameFeatures
 from vslam_tpu.data import synthetic
 from vslam_tpu.eval import ate as ate_mod
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def test_orb_pipeline_ate():
     """Rasterized frames -> FAST+rBRIEF ORB frontend -> full tracking scan

@@ -16,6 +16,10 @@ from vslam_tpu.core.state import FrameFeatures
 from vslam_tpu.data import synthetic
 from vslam_tpu.ops import orb
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def test_image_level_tracking():
     cfg = tiny_test_config()

@@ -22,6 +22,10 @@ from vslam_tpu.core import pipeline
 from vslam_tpu.data import synthetic
 from vslam_tpu.eval import ate as ate_mod
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def _loop_config():
     """Tiny shapes but a full-size keyframe ring (the 520-frame run makes

@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 from vslam_tpu.models import midas
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 BN_EPS = 1e-3
 
 

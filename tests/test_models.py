@@ -8,6 +8,10 @@ from vslam_tpu.data import synthetic
 from vslam_tpu.models import midas, superpoint as sp
 from vslam_tpu.ops import matching, nms, orb
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def test_superpoint_shapes_and_decode():
     params = sp.init_params(jax.random.PRNGKey(0), height=120, width=160)

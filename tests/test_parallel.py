@@ -2,11 +2,14 @@
 
 import numpy as np
 import jax
+import pytest
 
 from vslam_tpu.config import tiny_test_config
 from vslam_tpu.core.pipeline import features_from_synthetic
 from vslam_tpu.data import synthetic
 from vslam_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
 
 
 def _batch(cfg, B, N):

@@ -6,6 +6,10 @@ from vslam_tpu.config import tiny_test_config
 from vslam_tpu.core import pipeline
 from vslam_tpu.data import synthetic
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def make_tiny_seq(num_frames=20, seed=0, rgbd=True):
     cfg = tiny_test_config()

@@ -14,6 +14,8 @@ import pytest
 
 from vslam_tpu.ops import poisson
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def _sphere(n, seed=0):
     rng = np.random.default_rng(seed)

@@ -15,6 +15,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def _load_params():
     from vslam_tpu.models import weights as w

@@ -12,6 +12,10 @@ from vslam_tpu.core.state import init_state
 from vslam_tpu.core.tracking_batched import batched_tracking_scan
 from vslam_tpu.data import synthetic
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def _make_batch(cfg, B=3, N=12):
     c = cfg.camera

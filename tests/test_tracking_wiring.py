@@ -13,6 +13,10 @@ from vslam_tpu.core import pipeline, tracking
 from vslam_tpu.core.state import init_state
 from vslam_tpu.data import synthetic
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def _make_world_frame(cfg, n_pts=48, offset=0.0, seed=0):
     """A camera at identity observing n_pts random points; returns

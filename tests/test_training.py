@@ -5,6 +5,10 @@ import jax.numpy as jnp
 
 from vslam_tpu.models import train_superpoint as tsp
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m "not slow"`
+
 
 def test_cell_labels():
     corners = jnp.asarray([[[12.0, 20.0], [100.0, 30.0]]])
