@@ -309,13 +309,26 @@ def _run_stages(args, detail, hl, stage, budget):
     _worlds = {}
     _radius = 2.0 if args.tiny else 3.0
 
+    # Stress-variant generation kwargs, defined ONCE so the cache tag
+    # (hashed over every kwarg, ADVICE r4) and the maker can never drift.
+    STRESS_KW = {
+        "s101_l1": dict(seed=101, loops=1.0),
+        "s202_l2.5": dict(seed=202, loops=2.5, pause=(0.3, 0.02),
+                          dropout=(0.6, 0.01)),
+    }
+
     def _world_est(seed, gen_est, cached_est=20):
         """Budget estimate for a cached dataset: cheap when on disk."""
-        tag = wc.image_world_tag(nC, W, H, seed, lm_img, _radius)
+        tag = wc.image_world_tag(nC, W, H, seed, lm_img, _radius,
+                                 c.fx, c.fy, c.cx, c.cy)
         return cached_est if wc.is_cached(tag) else gen_est
 
     def _stress_est(variant, n, gen_est, cached_est=20):
-        tag = wc.stress_world_tag(n, W, H, lm_img, variant)
+        tag = wc.stress_world_tag(
+            n, W, H, lm_img, variant,
+            fx=float(c.fx), fy=float(c.fy), cx=float(c.cx), cy=float(c.cy),
+            **STRESS_KW[variant],
+        )
         return cached_est if wc.is_cached(tag) else gen_est
 
     def world(seed):
@@ -327,13 +340,20 @@ def _run_stages(args, detail, hl, stage, budget):
             )
             if seed == 0:
                 d["rgb"] = np.repeat(d["gray"][..., None], 3, -1)
+            # LRU cap (ADVICE r4): a VGA 896-frame world holds ~0.8 GB of
+            # host gray+depth; the wide-ATE sweep touches 10 of them, and
+            # an unbounded dict risks OOM-killing the budgeted run on the
+            # single-core host. multi_coupled reuses seeds 0-3, so keep 4.
+            while len(_worlds) >= 4:
+                evict = next(k for k in _worlds if k != 0)
+                del _worlds[evict]
             _worlds[seed] = d
         return _worlds[seed]
 
-    def stress_world(variant, n, **kw):
+    def stress_world(variant, n):
         return wc.stress_world(
             variant, n, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx,
-            cy=c.cy, num_landmarks=lm_img, **kw,
+            cy=c.cy, num_landmarks=lm_img, **STRESS_KW[variant],
         )
 
     def chunked(x, dtype=None):
@@ -516,7 +536,7 @@ def _run_stages(args, detail, hl, stage, budget):
 
     # ---- STRESS: stationary pause + texture dropout, same program ----
     def _stage_stress():
-        sd = stress_world("s101_l1", nC, seed=101, loops=1.0)
+        sd = stress_world("s101_l1", nC)
         stat_np = pipeline.detect_stationary(
             sd["accel"], sd["timestamps"],
             window=cfg.ekf.stationary_window_s,
@@ -811,10 +831,7 @@ def _run_stages(args, detail, hl, stage, budget):
     def _stage_long():
         S_l = (long_frames + CHUNK - 1) // CHUNK
         nL = S_l * CHUNK
-        ld = stress_world(
-            "s202_l2.5", nL, seed=202, loops=2.5,
-            pause=(0.3, 0.02), dropout=(0.6, 0.01),
-        )
+        ld = stress_world("s202_l2.5", nL)
         stat_np = pipeline.detect_stationary(
             ld["accel"], ld["timestamps"],
             window=cfg.ekf.stationary_window_s,

@@ -106,7 +106,8 @@ def run(pixel_noise, depth_noise, desc_noise=0.02, n_frames=520):
         t_smoothed=result.t_smoothed + drift,
         final_state=st._replace(
             keyframes=st.keyframes._replace(
-                t=st.keyframes.t + kf_drift.astype(np.float32)
+                t=st.keyframes.t + kf_drift.astype(np.float32),
+                t_anchor=st.keyframes.t_anchor + kf_drift.astype(np.float32),
             )
         ),
     )

@@ -49,22 +49,26 @@ def main():
         print(f"[pregen +{time.time() - t0:5.0f}s] {msg}", flush=True)
 
     t0 = time.time()
+    fkw = dict(fx=float(c.fx), fy=float(c.fy), cx=float(c.cx), cy=float(c.cy))
     for seed in range(args.seeds):
-        tag = wc.image_world_tag(nC, W, H, seed, lm, radius)
+        tag = wc.image_world_tag(nC, W, H, seed, lm, radius,
+                                 c.fx, c.fy, c.cx, c.cy)
         note(f"world seed={seed} ({'cached' if wc.is_cached(tag) else 'render'})")
         wc.image_world(nC, seed=seed, num_landmarks=lm, radius=radius, **intr)
 
-    tag = wc.stress_world_tag(nC, W, H, lm, "s101_l1")
-    note(f"stress ({'cached' if wc.is_cached(tag) else 'render'})")
-    wc.stress_world("s101_l1", nC, seed=101, loops=1.0, num_landmarks=lm,
-                    **intr)
+    # Stress kwargs mirror bench.py's STRESS_KW table exactly.
+    s101 = dict(seed=101, loops=1.0)
+    s202 = dict(seed=202, loops=2.5, pause=(0.3, 0.02), dropout=(0.6, 0.01))
 
-    tag = wc.stress_world_tag(S_l * CHUNK, W, H, lm, "s202_l2.5")
+    tag = wc.stress_world_tag(nC, W, H, lm, "s101_l1", **fkw, **s101)
+    note(f"stress ({'cached' if wc.is_cached(tag) else 'render'})")
+    wc.stress_world("s101_l1", nC, num_landmarks=lm, **intr, **s101)
+
+    tag = wc.stress_world_tag(S_l * CHUNK, W, H, lm, "s202_l2.5",
+                              **fkw, **s202)
     note(f"long stress ({'cached' if wc.is_cached(tag) else 'render'})")
-    wc.stress_world(
-        "s202_l2.5", S_l * CHUNK, seed=202, loops=2.5,
-        pause=(0.3, 0.02), dropout=(0.6, 0.01), num_landmarks=lm, **intr,
-    )
+    wc.stress_world("s202_l2.5", S_l * CHUNK, num_landmarks=lm, **intr,
+                    **s202)
     note("done")
 
 

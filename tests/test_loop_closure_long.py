@@ -150,7 +150,12 @@ def test_loop_closure_fires_and_pgo_reduces_ate():
         t=result.t + drift,
         t_smoothed=result.t_smoothed + drift,
         final_state=st._replace(
-            keyframes=st.keyframes._replace(t=st.keyframes.t + kf_drift)
+            # Drift the anchors too: "the tracker produced this drifted
+            # trajectory" means the registration-time poses are drifted.
+            keyframes=st.keyframes._replace(
+                t=st.keyframes.t + kf_drift,
+                t_anchor=st.keyframes.t_anchor + kf_drift,
+            )
         ),
     )
     e_pre_d = unaligned_err(drifted)
@@ -200,7 +205,10 @@ def test_loop_cadence_at_production_interval():
         pnp=PnPConfig(ransac_iters=64),
         map=MapConfig(map_capacity=16384, keyframe_capacity=256),
         opt=OptimizerConfig(max_loop_constraints=16),
-        loop=LoopClosureConfig(),  # production values, interval included
+        # Reference cadence pinned explicitly: the production default is
+        # now a denser check interval (LoopClosureConfig docstring); this
+        # test exercises the reference's exact every-200th-KF schedule.
+        loop=LoopClosureConfig(check_interval_kfs=200),
     )
     c = cfg.camera
     n_frames = 1060

@@ -126,7 +126,8 @@ def test_loop_closure_constraints_and_pgo():
     cfg = tiny_test_config()
     cfg = dataclasses.replace(cfg, loop=LoopClosureConfig(
         min_frame_gap=12, min_inliers=10, check_interval_kfs=2,
-        max_jump=1.0, min_jump=-1.0, nearby_frame_range=100, kf_stride=1))
+        max_jump=1.0, min_jump=-1.0, kf_stride=1,
+        min_frames_between_accepts=0))
     c = cfg.camera
     seq = synthetic.make_sequence(
         num_frames=40, max_keypoints=cfg.frontend.max_keypoints,

@@ -169,7 +169,16 @@ class MapConfig:
     """
 
     map_capacity: int = 16384  # max live map points
-    keyframe_capacity: int = 128  # keyframe ring size
+    # Keyframe ring size. 256 retains EVERY keyframe at the reference's
+    # true sequence scale (a 2,544-frame run makes ~250 keyframes), which
+    # is what the reference's unbounded store gives loop closure
+    # (`src/Map.cpp:20-30`): at 128, the ring had already overwritten the
+    # oldest ~70 keyframes — the revisit anchors — by the time the first
+    # loop check could fire, so production-cadence closure structurally
+    # could not see its anchors (round-4 measured `loop_constraints: 0`
+    # on every long run). The PGO pose block at (256*6)^2 is still
+    # trivial on the MXU.
+    keyframe_capacity: int = 256
 
     # Triangulation gates (Config.h:70-73)
     triang_max_reproj_px: float = 3.0
@@ -201,10 +210,28 @@ class LoopClosureConfig:
 
     min_frame_gap: int = 200
     min_inliers: int = 30
-    check_interval_kfs: int = 200
+    # Check cadence — DELTA from the reference's every-200th-keyframe
+    # check (`Config.h:93`, `src/Slam.cpp:1084`). At 200, a 2,544-frame
+    # run fires exactly ONE check; if that single attempt fails its
+    # gates (texture dropout, excess drift) the run closes zero loops —
+    # measured on the round-4 long bench. Checking every 8th keyframe
+    # (~every 80 frames) keeps every other gate at reference strength
+    # (the 200-frame age gate still ensures genuine revisits) while
+    # giving each revisit region several attempts; the batched all-KF
+    # matcher makes a check ~0.3 ms, so the amortized cost is noise.
+    # 200 restores exact reference cadence.
+    check_interval_kfs: int = 8
+    # Min frames between ACCEPTED constraints: with the denser cadence a
+    # single revisit stretch would otherwise fill the constraint buffer
+    # with near-duplicate edges; spacing keeps slots for distinct
+    # revisits (the reference spaces implicitly via its 200-KF cadence).
+    min_frames_between_accepts: int = 40
     max_jump: float = 0.5
     min_jump: float = 0.01
-    nearby_frame_range: int = 30
+    # (The reference's ±30-frame nearby-map-point gather for the PnP
+    # verification, `src/Slam.cpp:744-775`, is redesigned away: PnP runs
+    # against the anchor keyframe's own depth-backprojected keypoints —
+    # see `tracking._handle_loop_closure` — so no nearby_frame_range.)
     kf_stride: int = 5  # LoopCloser.cpp:43-48: every 5th candidate KF
     # Two-stage constraint polish (delta from `src/Slam.cpp:778-797`,
     # which takes solvePnPRansac's 8 px-gated pose as the constraint
@@ -335,6 +362,18 @@ class OptimizerConfig:
     pgo_height_sigma: float = 0.005
     pgo_iterations: int = 20
     max_loop_constraints: int = 32
+
+    # IN-RUN loop correction (the streaming form of the reference's
+    # loop-closure -> PGO design point, `src/Slam.cpp:730-798` +
+    # `Optimizer.cpp:654-863`): when a coupled chunk accepts a new loop
+    # constraint, a gain-gated PGO runs INSIDE the coupled program and
+    # its correction feeds back into the live tracking state (ring, map,
+    # current pose, EKF) — see `pipeline.inrun_pgo_correct`. Without it,
+    # drift keeps accumulating after the first closure until later
+    # constraints fail the 0.5 m jump gate. Zero cost on loop-free runs
+    # (the lax.cond never takes the branch).
+    inrun_pgo: bool = True
+    inrun_pgo_iterations: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

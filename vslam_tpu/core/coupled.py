@@ -106,7 +106,22 @@ def run_coupled(
             xy=kps.xy, desc=desc, depth=kpd, valid=kps.valid,
             timestamp=ts, stationary=stat, frame_id=fids,
         )
+        n_loops0 = jnp.sum(st.loops.valid)
         st, outs = jax.lax.scan(track, st, frames)
+        if config.opt.inrun_pgo:
+            # In-run loop correction (`pipeline.inrun_pgo_correct`): when
+            # this chunk accepted a new loop constraint, relax the pose
+            # graph device-side and fold the correction back into the
+            # live state so the NEXT chunks track loop-consistently. The
+            # cond is never taken on loop-free runs (zero steady cost).
+            from vslam_tpu.core import pipeline as pipeline_mod
+
+            st = jax.lax.cond(
+                jnp.sum(st.loops.valid) > n_loops0,
+                lambda s: pipeline_mod.inrun_pgo_correct(s, config),
+                lambda s: s,
+                st,
+            )
         return st, outs
 
     state, outs = jax.lax.scan(

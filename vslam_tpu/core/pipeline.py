@@ -96,6 +96,40 @@ def _scan_sequence(state: TrackState, frames: FrameFeatures, config: SlamConfig,
     return jax.lax.scan(step, state, frames)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "seed", "chunk"))
+def _scan_sequence_chunked(
+    state: TrackState, frames: FrameFeatures, config: SlamConfig,
+    seed: int, chunk: int,
+):
+    """Chunked tracking scan with the SAME in-run loop-correction
+    semantics as the coupled pixels-in program (`core.coupled`): after
+    each chunk, a device-side cond runs `inrun_pgo_correct` iff the chunk
+    accepted a new loop constraint. Feature-level counterpart for tests
+    and diagnostics. N must be divisible by `chunk`."""
+    step = make_scan_step(config, seed=seed)
+    N = frames.xy.shape[0]
+    S = N // chunk
+    frames_c = jax.tree.map(
+        lambda x: x.reshape((S, chunk) + x.shape[1:]), frames
+    )
+
+    def chunk_step(st, fr):
+        n0 = jnp.sum(st.loops.valid)
+        st, outs = jax.lax.scan(step, st, fr)
+        if config.opt.inrun_pgo:
+            st = jax.lax.cond(
+                jnp.sum(st.loops.valid) > n0,
+                lambda s: inrun_pgo_correct(s, config),
+                lambda s: s,
+                st,
+            )
+        return st, outs
+
+    st, outs = jax.lax.scan(chunk_step, state, frames_c)
+    outs = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+    return st, outs
+
+
 def result_from_outputs(
     final_state: TrackState, outs, smooth: bool = True,
     keep_refine: bool = True, rts_parallel: bool = True,
@@ -152,11 +186,21 @@ def run_tracking(
     initial_height=0.0,
     seed: int = 42,
     smooth: bool = True,
+    chunk: Optional[int] = None,
 ) -> RunResult:
-    """Run the tracking scan over a packed frame stream + RTS smoothing."""
+    """Run the tracking scan over a packed frame stream + RTS smoothing.
+
+    `chunk`: when set, scan in chunks with in-run loop correction between
+    them (the coupled program's semantics, see `_scan_sequence_chunked`).
+    """
     if state is None:
         state = init_state(config, gravity=gravity, initial_height=initial_height)
-    final_state, outs = _scan_sequence(state, frames, config, seed)
+    if chunk:
+        final_state, outs = _scan_sequence_chunked(
+            state, frames, config, seed, chunk
+        )
+    else:
+        final_state, outs = _scan_sequence(state, frames, config, seed)
     return result_from_outputs(
         final_state, outs, smooth=smooth,
         keep_refine=config.ekf.smooth_keep_refine,
@@ -164,15 +208,22 @@ def run_tracking(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, config):
-    """Whole PGO pass (problem build + optimize + corrections) as ONE
-    jitted program — eager op-by-op construction costs a relay round trip
-    per op on the axon backend."""
+def pgo_ring_solve(st, gravity_opt, initial_height, config,
+                   iterations=None):
+    """Gain-gated PGO over the keyframe ring + loop constraints + height
+    prior — the solve shared by the post-hoc backend (`_pgo_pass`) and
+    the IN-RUN correction inside the coupled program
+    (`core.coupled.run_coupled`). Pure traced function (callers jit).
+
+    Returns (R_opt, t_opt): the current ring poses when the pass is
+    skipped (not significant) or rejected (no chi^2 improvement).
+    """
     from vslam_tpu.ops import pgo
 
     kfs = st.keyframes
     oc = config.opt
+    if iterations is None:
+        iterations = oc.pgo_iterations
     e_i, e_j, e_R, e_t, e_info, e_valid = pgo.build_odometry_edges(
         kfs.R, kfs.t, kfs.valid, kfs.frame_id,
         oc.pgo_odom_trans_sigma, oc.pgo_odom_rot_sigma,
@@ -230,7 +281,7 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
     significant = chi2_before > oc.pgo_min_chi2_per_dof * jnp.maximum(dof, 1)
 
     def _pgo_opt(_):
-        R_opt, t_opt = pgo.optimize(prob, iterations=oc.pgo_iterations)
+        R_opt, t_opt = pgo.optimize(prob, iterations=iterations)
         chi2_after = pgo.total_chi2(prob, R_opt, t_opt)
         acc = chi2_after < chi2_before * (1.0 - 1e-5)
         return jnp.where(acc, R_opt, kfs.R), jnp.where(acc, t_opt, kfs.t)
@@ -238,22 +289,96 @@ def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, con
     def _pgo_noop(_):
         return kfs.R, kfs.t
 
-    R_opt, t_opt = jax.lax.cond(significant, _pgo_opt, _pgo_noop, None)
+    return jax.lax.cond(significant, _pgo_opt, _pgo_noop, None)
 
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _pgo_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height, config):
+    """Whole PGO pass (solve + trajectory/map corrections) as ONE jitted
+    program — eager op-by-op construction costs a relay round trip per op
+    on the axon backend."""
+    from vslam_tpu.ops import pgo
+
+    kfs = st.keyframes
+    R_opt, t_opt = pgo_ring_solve(st, gravity_opt, initial_height, config)
+
+    # Trajectory correction is measured from the ANCHOR (tracked) poses,
+    # not the current ring poses: when in-run PGO already moved the ring
+    # mid-sequence (core.coupled), frames emitted before that correction
+    # still carry the anchor-era poses, so the cumulative anchor->final
+    # delta is the right correction for every frame. With no in-run
+    # events anchor == ring and this is the reference's single post-hoc
+    # delta (`Optimizer.cpp:795-827`).
     frame_ids = jnp.arange(res_t.shape[0], dtype=jnp.float32)
     _, t_corr = pgo.correct_trajectory(
-        frame_ids, res_R, res_t, kfs.frame_id, kfs.valid, kfs.R, kfs.t,
-        R_opt, t_opt,
+        frame_ids, res_R, res_t, kfs.frame_id, kfs.valid,
+        kfs.R_anchor, kfs.t_anchor, R_opt, t_opt,
     )
     _, t_corr_s = pgo.correct_trajectory(
-        frame_ids, res_R, res_t_smoothed, kfs.frame_id, kfs.valid, kfs.R,
-        kfs.t, R_opt, t_opt,
+        frame_ids, res_R, res_t_smoothed, kfs.frame_id, kfs.valid,
+        kfs.R_anchor, kfs.t_anchor, R_opt, t_opt,
     )
     moved = pgo.correct_map_points(
         st.map.pos, jnp.mod(st.map.first_kf, kfs.valid.shape[0]), kfs.valid,
         kfs.R, kfs.t, R_opt, t_opt,
     )
     return R_opt, t_opt, t_corr, t_corr_s, moved
+
+
+def inrun_pgo_correct(st: TrackState, config: SlamConfig) -> TrackState:
+    """IN-RUN pose-graph correction: gain-gated PGO over the ring, with
+    the result folded back into the LIVE tracking state so subsequent
+    frames track against loop-consistent keyframes and map points.
+
+    The reference's design point is PGO immediately after a loop closure
+    (`src/Slam.cpp:730-798` accumulates the constraint; the posthoc
+    consumer is `Optimizer.cpp:654-863`); this is its streaming form —
+    called from the coupled chunk scan (`core.coupled.run_coupled`) when
+    a chunk accepted a new loop constraint, entirely device-side. Without
+    it, a long run's drift keeps growing until later constraints fail the
+    0.5 m jump gate; with it, drift resets at the first closure.
+
+    Updates: keyframe ring poses (anchors untouched — see KeyframeStore),
+    map points (moved rigidly with their owning keyframe), the current /
+    previous / active-keyframe poses and the EKF mean (all by the newest
+    keyframe's delta, since the tracker's state is relative to it).
+    """
+    from vslam_tpu.ops import pgo, se3
+
+    kfs = st.keyframes
+    R_opt, t_opt = pgo_ring_solve(
+        st, None, st.initial_height, config,
+        iterations=config.opt.inrun_pgo_iterations,
+    )
+    moved = pgo.correct_map_points(
+        st.map.pos, jnp.mod(st.map.first_kf, kfs.valid.shape[0]), kfs.valid,
+        kfs.R, kfs.t, R_opt, t_opt,
+    )
+    # Newest valid keyframe's rigid delta T_new ∘ T_old^{-1}.
+    newest = jnp.argmax(jnp.where(kfs.valid, kfs.frame_id, -1))
+    Rd, td = se3.compose(
+        R_opt[newest], t_opt[newest],
+        *se3.inverse(kfs.R[newest], kfs.t[newest]),
+    )
+
+    def move(R, t):
+        return Rd @ R, (Rd @ t[..., None])[..., 0] + td
+
+    R_cur, t_cur = move(st.R, st.t)
+    R_prev, t_prev = move(st.prev_R, st.prev_t)
+    x = st.ekf.x.at[:3].set(t_cur)
+    x = x.at[3:].set(Rd @ st.ekf.x[3:])
+    return st._replace(
+        keyframes=kfs._replace(R=R_opt, t=t_opt),
+        map=st.map._replace(pos=moved),
+        R=R_cur,
+        t=t_cur,
+        kf_R=R_opt[newest],
+        kf_t=t_opt[newest],
+        prev_R=R_prev,
+        prev_t=t_prev,
+        ekf=st.ekf._replace(x=x),
+    )
 
 
 def run_posthoc_pgo(result: RunResult, config: SlamConfig, gravity=None, initial_height=0.0):
@@ -649,7 +774,8 @@ def run_backend(result: RunResult, config: SlamConfig, gravity=None,
     )
 
 
-def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42, smooth=True):
+def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42,
+                  smooth=True, chunk=None):
     """End-to-end on a synthetic sequence: gravity init + stationarity +
     tracking + smoothing. Returns (RunResult, ate_result)."""
     from vslam_tpu.eval import ate as ate_mod
@@ -663,7 +789,8 @@ def run_synthetic(seq, config: SlamConfig, use_imu=True, seed: int = 42, smooth=
 
     frames = features_from_synthetic(seq, stationary=stationary)
     result = run_tracking(
-        frames, config, gravity=gravity, initial_height=h0, seed=seed, smooth=smooth
+        frames, config, gravity=gravity, initial_height=h0, seed=seed,
+        smooth=smooth, chunk=chunk,
     )
 
     # World frame == first camera frame in synthetic sequences, but the

@@ -40,6 +40,17 @@ class KeyframeStore(NamedTuple):
     kp_valid: jnp.ndarray  # (KFC, K)
     R: jnp.ndarray  # (KFC, 3, 3) camera-to-world
     t: jnp.ndarray  # (KFC, 3)
+    # TRACKED pose at registration — the pose the surrounding frames were
+    # estimated against. Set once per keyframe and never touched by
+    # PGO/BA (in-run or post-hoc), so the final trajectory correction
+    # (`pgo.correct_trajectory`) can apply the CUMULATIVE per-keyframe
+    # delta (anchor -> final optimized pose) to the raw per-frame
+    # outputs even after mid-run corrections moved the ring. When no
+    # in-run optimization fired, anchor == ring pose and the correction
+    # reduces to the reference's single post-hoc delta
+    # (`Optimizer.cpp:795-827`).
+    R_anchor: jnp.ndarray  # (KFC, 3, 3)
+    t_anchor: jnp.ndarray  # (KFC, 3)
     frame_id: jnp.ndarray  # (KFC,) int32 source frame index
     valid: jnp.ndarray  # (KFC,) slot occupied
 
@@ -206,6 +217,8 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
             kp_valid=jnp.zeros((KFC, K), bool),
             R=jnp.tile(jnp.eye(3, dtype=f32), (KFC, 1, 1)),
             t=jnp.zeros((KFC, 3), f32),
+            R_anchor=jnp.tile(jnp.eye(3, dtype=f32), (KFC, 1, 1)),
+            t_anchor=jnp.zeros((KFC, 3), f32),
             frame_id=jnp.full(KFC, -1, jnp.int32),
             valid=jnp.zeros(KFC, bool),
         ),

@@ -586,6 +586,8 @@ def _make_keyframe(
         kp_valid=kfs.kp_valid.at[slot].set(frame.valid),
         R=kfs.R.at[slot].set(R_new),
         t=kfs.t.at[slot].set(t_new),
+        R_anchor=kfs.R_anchor.at[slot].set(R_new),
+        t_anchor=kfs.t_anchor.at[slot].set(t_new),
         frame_id=kfs.frame_id.at[slot].set(frame.frame_id),
         valid=kfs.valid.at[slot].set(True),
     )
@@ -665,8 +667,22 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     Batched form: descriptor-match the current frame against EVERY stored
     keyframe at once (one (KFC*K, K) distance computation), ratio test,
     pick the candidate with the most matches, Essential-RANSAC verify,
-    then PnP against map points created near the matched keyframe with the
-    (0.01, 0.5) m jump gate. On success, appends a LoopConstraint.
+    then PnP with the (0.01, 0.5) m jump gate. On success, appends a
+    LoopConstraint.
+
+    DELTA from the reference's PnP stage (`src/Slam.cpp:744-775`, which
+    matches against live MAP POINTS created within ±30 frames of the
+    anchor): the PnP here runs against the ANCHOR KEYFRAME'S OWN
+    depth-backprojected keypoints, using the detection stage's
+    descriptor matches directly. The reference can rely on old-region
+    map points staying resident because its map grows unboundedly
+    (`src/Map.cpp:20-30`); a bounded TPU map store evicts weak old
+    points long before a revisit, which silently starves the reference
+    formulation exactly when a loop is on offer. The keyframe ring
+    (capacity >= total keyframes at reference scale) keeps every
+    anchor's geometry, so the constraint is immune to map churn — and
+    the correspondences are the already-verified detection matches, not
+    a second global search.
     """
     fx, fy, cx, cy = _intr(config)
     lc = config.loop
@@ -710,25 +726,26 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
         min_inliers=lc.min_inliers,
     )
 
-    # PnP vs map points created near the matched keyframe (`Slam.cpp:744-782`).
+    # PnP against the anchor keyframe's depth-backprojected keypoints
+    # (redesigned `Slam.cpp:744-782` stage — see docstring): the 2D-3D
+    # correspondences are the detection matches themselves, with the 3D
+    # side lifted from the anchor's stored sensor depth at its estimated
+    # pose. Both endpoints live in the same (drifted) trajectory frame,
+    # so the RELATIVE constraint is drift-free up to sensor noise.
     cand_frame_id = kfs.frame_id[best_kf]
-    pt_kf_frame = kfs.frame_id[jnp.mod(st.map.first_kf, KFC)]
-    nearby = st.map.valid & (
-        jnp.abs(pt_kf_frame - cand_frame_id) <= lc.nearby_frame_range
+    d_old = kfs.depth[best_kf]  # (K,) sensor depth at anchor keypoints
+    d_ok_old = (d_old > config.camera.depth_min) & (
+        d_old < config.camera.depth_max
     )
-    # DELTA from the reference's FLANN ratio test (`src/Slam.cpp:767`):
-    # the map accumulates near-duplicate copies of a landmark (every
-    # keyframe inserts its own), so a ratio test's d1~=d2 rejects exactly
-    # the strongest matches. Absolute distance + mutual-best (the local
-    # tracker's criteria, Config.h:108-111) is duplicate-robust; the
-    # RANSAC-PnP below still gates geometry.
-    mres = matching.knn2_ratio_match(
-        frame.desc, st.map.desc, frame.valid, nearby,
-        ratio=2.0, mutual=True, max_dist=config.map.track_desc_threshold,
-    )
-    X = st.map.pos[jnp.clip(mres.idx, 0, st.map.pos.shape[0] - 1)]
+    X_w = se3.transform_points(
+        kfs.R[best_kf], kfs.t[best_kf],
+        cam.backproject(kfs.xy[best_kf], d_old, fx, fy, cx, cy),
+    )  # (K, 3) anchor keypoints in world
+    bi = best_idx[best_kf]  # (K,) anchor-kp index matched per current kp
+    X = X_w[bi]
+    corr_ok = mok & d_ok_old[bi]
     pnp_res = pnp_ops.ransac_pnp(
-        k2, X, frame.xy, mres.valid, fx, fy, cx, cy,
+        k2, X, frame.xy, corr_ok, fx, fy, cx, cy,
         num_hypotheses=config.pnp.ransac_iters,
         threshold_px=config.pnp.ransac_threshold_px,
         min_inliers=config.pnp.min_points,
@@ -745,7 +762,7 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
         p_c = se3.transform_points(R_cw, t_cw, X)
         uv_hat, front = cam.project(p_c, fx, fy, cx, cy)
         t_err_px = jnp.linalg.norm(uv_hat - frame.xy, axis=-1)
-        tight = (t_err_px < lc.refine_threshold_px) & front & mres.valid
+        tight = (t_err_px < lc.refine_threshold_px) & front & corr_ok
         n_tight = jnp.sum(tight)
         R_cw2, t_cw2 = pnp_ops.gn_refine_pose(
             R_cw, t_cw, X, frame.xy, tight.astype(X.dtype), fx, fy, cx, cy,
@@ -757,6 +774,11 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     R_pnp, t_pnp = se3.inverse(R_cw, t_cw)
 
     jump = jnp.linalg.norm(t_pnp - t_new)
+    # Spacing between ACCEPTED constraints (see LoopClosureConfig
+    # .min_frames_between_accepts): the denser check cadence would
+    # otherwise fill the buffer with near-duplicates of one revisit.
+    last_to = jnp.max(jnp.where(st.loops.valid, st.loops.to_id, -1))
+    spaced = frame.frame_id - last_to >= lc.min_frames_between_accepts
     accept = (
         enough
         & eres.ok
@@ -764,6 +786,7 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
         & (jump > lc.min_jump)
         & (jump < lc.max_jump)
         & (counts[best_kf] > 0)
+        & spaced
     )
 
     # Constraint: relative pose between matched KF and PnP-verified pose.
@@ -1035,6 +1058,11 @@ def tracking_step(
                 keyframes=s2.keyframes._replace(
                     R=s2.keyframes.R.at[slot].set(R_kf),
                     t=s2.keyframes.t.at[slot].set(t_kf),
+                    # Anchor tracks the registration-time pose, periodic
+                    # PnP blend included — subsequent frames track
+                    # against this value.
+                    R_anchor=s2.keyframes.R_anchor.at[slot].set(R_kf),
+                    t_anchor=s2.keyframes.t_anchor.at[slot].set(t_kf),
                 ),
             )
             # Loop closure every Nth keyframe (`src/Slam.cpp:1084-1086`).

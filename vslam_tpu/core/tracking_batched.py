@@ -326,6 +326,8 @@ def _track_batched(st: TrackState, frame: FrameFeatures, config: SlamConfig, key
             keyframes=s.keyframes._replace(
                 R=s.keyframes.R.at[dest].set(R, mode="drop"),
                 t=s.keyframes.t.at[dest].set(t, mode="drop"),
+                R_anchor=s.keyframes.R_anchor.at[dest].set(R, mode="drop"),
+                t_anchor=s.keyframes.t_anchor.at[dest].set(t, mode="drop"),
             ),
         )
 

@@ -39,13 +39,25 @@ def is_cached(tag: str) -> bool:
 def _load_or_make(tag, keys, maker):
     path = _path(tag)
     if os.path.exists(path):
-        z = np.load(path, allow_pickle=False)
-        return {k: z[k] for k in z.files}
+        try:
+            z = np.load(path, allow_pickle=False)
+            return {k: z[k] for k in z.files}
+        except Exception:
+            # Corrupt/torn cache file (e.g. killed writer): drop it and
+            # regenerate — a bad entry must never fail the bench's
+            # required stages.
+            try:
+                os.remove(path)
+            except OSError:
+                pass
     d = maker()
     out = {k: np.asarray(d[k]) for k in keys if d.get(k) is not None}
     try:
         os.makedirs(CACHE_DIR, exist_ok=True)
-        tmp = path + ".tmp.npz"  # ends in .npz so np.savez won't rename
+        # PID-unique tmp: concurrent writers (pregen_worlds racing
+        # bench.py) must not interleave into one tmp file. Ends in .npz
+        # so np.savez won't append a second suffix.
+        tmp = f"{path}.tmp{os.getpid()}.npz"
         np.savez(tmp, **out)
         os.replace(tmp, path)
     except OSError:
@@ -53,19 +65,39 @@ def _load_or_make(tag, keys, maker):
     return out
 
 
-def image_world_tag(n, width, height, seed, num_landmarks, radius) -> str:
-    return f"img_n{n}_{width}x{height}_s{seed}_lm{num_landmarks}_r{radius}"
+def _kw_hash(kw: dict) -> str:
+    """Deterministic short hash of generation kwargs, so EVERY parameter
+    keys the cache — a changed intrinsic or stress knob must never serve
+    a stale world under an unchanged human-readable variant name."""
+    import hashlib
+
+    s = repr(sorted((k, repr(v)) for k, v in kw.items()))
+    return hashlib.sha1(s.encode()).hexdigest()[:10]
 
 
-def stress_world_tag(n, width, height, num_landmarks, variant: str) -> str:
-    """`variant` encodes the non-default stress args (seed/loops/...)."""
-    return f"stress_n{n}_{width}x{height}_lm{num_landmarks}_{variant}"
+def image_world_tag(n, width, height, seed, num_landmarks, radius,
+                    fx, fy, cx, cy) -> str:
+    cam = _kw_hash(dict(fx=float(fx), fy=float(fy), cx=float(cx), cy=float(cy)))
+    return (
+        f"img_n{n}_{width}x{height}_s{seed}_lm{num_landmarks}_r{radius}_c{cam}"
+    )
+
+
+def stress_world_tag(n, width, height, num_landmarks, variant: str,
+                     **kw) -> str:
+    """`variant` is the human-readable label; `kw` (all generation
+    kwargs, intrinsics included) is hashed into the key."""
+    return (
+        f"stress_n{n}_{width}x{height}_lm{num_landmarks}_{variant}"
+        f"_h{_kw_hash(kw)}"
+    )
 
 
 def image_world(n, *, width, height, fx, fy, cx, cy, seed, num_landmarks,
                 radius):
     """Disk-cached `synthetic.make_image_sequence` (gray-only)."""
-    tag = image_world_tag(n, width, height, seed, num_landmarks, radius)
+    tag = image_world_tag(n, width, height, seed, num_landmarks, radius,
+                          fx, fy, cx, cy)
     return _load_or_make(
         tag, IMAGE_KEYS,
         lambda: synthetic.make_image_sequence(
@@ -79,7 +111,10 @@ def image_world(n, *, width, height, fx, fy, cx, cy, seed, num_landmarks,
 def stress_world(variant, n, *, width, height, fx, fy, cx, cy,
                  num_landmarks, **kw):
     """Disk-cached `synthetic.make_stress_image_sequence`."""
-    tag = stress_world_tag(n, width, height, num_landmarks, variant)
+    tag = stress_world_tag(
+        n, width, height, num_landmarks, variant,
+        fx=float(fx), fy=float(fy), cx=float(cx), cy=float(cy), **kw,
+    )
     return _load_or_make(
         tag, STRESS_KEYS,
         lambda: synthetic.make_stress_image_sequence(

@@ -249,12 +249,28 @@ def rts_smooth_assoc(snapshots: EKFSnapshot, valid, decay=0.95):
     # (CLAUDE.md) and dominated this pass (~33 ms of the 896-frame
     # smoother, BENCH_NOTES). The sequential `rts_smooth` keeps SVD-pinv
     # for cv::DECOMP_SVD parity (`Slam.cpp:1761-1810`).
+    #
+    # STRICT-PD REQUIREMENT (ADVICE r4): unlike pinv — which zeroes a
+    # (near-)singular P_pred's null subspace and so produces zero gain
+    # along it — the clamped Cholesky inverse yields a huge gain there,
+    # amplifying noise instead of suppressing it. The predict step's
+    # process noise keeps every state dimension strictly positive
+    # (Q = sigma_a^2 * [dt^4/4, dt^2] blocks with the EKFConfig default
+    # sigma_a = 1.0 and dt > 0; dt == 0 frames reuse the previous P
+    # plus the identity-decay term), so P_pred stays comfortably PD in
+    # this filter. The gain clamp below is the belt-and-braces guard: a
+    # conditioning regression degrades toward the plain filtered track
+    # (|C| bounded) rather than exploding.
     from vslam_tpu.ops.linalg import inv_spd_small
 
     P_pred_inv = inv_spd_small(snapshots.P_pred[1:], shift_rel=1e-7)
     C = jnp.einsum(
         "nij,nkj,nkl->nil", snapshots.P_filt[: N - 1], F, P_pred_inv
     )
+    # Smoother gains of a sane CV filter have spectral radius <~ 1; a
+    # blown-up inverse (near-singular P_pred) shows up as entries far
+    # above that. Clamp elementwise so failure degrades gracefully.
+    C = jnp.clip(C, -8.0, 8.0)
     A = jnp.where(valid[: N - 1, None, None], C, jnp.zeros((), dtype))
     a = snapshots.x_filt[: N - 1] - jnp.einsum(
         "nij,nj->ni", A, snapshots.x_pred[1:]
