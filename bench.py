@@ -113,8 +113,8 @@ def main():
     ap.add_argument(
         "--stages", default="",
         help="comma-separated subset of optional stages to run (default all): "
-        "ate3,stress,mono,noise,frontend,tracking,dense,multi_coupled,"
-        "oracle,multi_tracking,ate_wide,long",
+        "ate3,stress,mono,mono_depth,noise,frontend,tracking,dense,"
+        "multi_coupled,oracle,multi_tracking,ate_wide,long",
     )
     ap.add_argument(
         "--multi", type=int, default=-1,
@@ -640,6 +640,71 @@ def _run_stages(args, detail, hl, stage, budget):
         detail["mono_ate_rmse_m"] = detail["mono"]["mono_ate_rmse_sim3_m"]
 
     stage("mono", E(100, 40), _stage_mono)
+
+    # ---- MONO + DEPTHNET: depth-assisted monocular (the MiDaS design
+    # point, C7: `src/DepthEstimator.cpp:15-112` + scale chain
+    # `src/Slam.cpp:162-207`). Same zero sensor depth as `mono`, but the
+    # trained DepthNet fills keypoint depth from the gray image; rgbd=False
+    # keeps motion on the essential+scale chain (3D-3D stays off —
+    # estimated depth never meets its 5 cm inlier gate). ----
+    def _stage_mono_depth():
+        dn_params, dn_src = wmod.load_or_init_depthnet()
+        if dn_src == "random-init":
+            detail["skipped_stages"].append(
+                "mono_depth (no trained depthnet checkpoint)"
+            )
+            return
+        d0 = world(0)
+        cfg_m = cfg.replace(rgbd=False)
+        dep_zero = jnp.zeros_like(dep1)
+
+        @jax.jit
+        def mono_depth_checksum(params_c, dn_p, st0, dn0, gray, dep, rgb,
+                                tsc, fid, stat):
+            st_f, dn_f, outs = coupled_mod.run_coupled(
+                params_c, st0, dn0, gray, dep, rgb, tsc, fid, stat, cfg_m,
+                depth_params=dn_p,
+            )
+            chk = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(outs):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree.leaves(dn_f):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-6
+            for leaf in jax.tree.leaves(st_f):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * 1e-9
+            return chk
+
+        st_m0 = init_state(cfg_m)
+        _note("  compiling mono_depth coupled program")
+        st_mf, _, outs_m = coupled_mod.run_coupled(
+            params_c, st_m0, dn_c0, gray1, dep_zero, rgb1, tsc1, fid1,
+            stat1, cfg_m, depth_params=dn_params,
+        )
+        res_m = pipeline.result_from_outputs(
+            st_mf, outs_m, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        ate_m = float(ate_mod.compute_ate(
+            d0["timestamps"], res_m.t_smoothed, d0["timestamps"], d0["t"],
+            with_scale=True,
+        ).rmse)
+        ts_m = _timed(
+            lambda: mono_depth_checksum(
+                params_c, dn_params, st_m0, dn_c0, gray1, dep_zero, rgb1,
+                tsc1, fid1, stat1,
+            ),
+            float, iters=max(TIMED_ITERS - 2, 2), warmup=1,
+        )
+        detail["mono_depth"] = {
+            "checkpoint": str(dn_src).split("/")[-1],
+            "mono_depth_ate_rmse_sim3_m": round(ate_m, 4),
+            "mono_depth_fps": round(nC / float(np.median(ts_m)), 2),
+            "tracked_frac": round(
+                float(np.asarray(outs_m.tracking_ok)[1:].mean()), 4
+            ),
+        }
+
+    stage("mono_depth", E(160, 60), _stage_mono_depth)
 
     # ---- NOISE: Kinect-model sensor noise on the seed-0 world ----
     def _stage_noise():

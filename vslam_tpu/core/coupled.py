@@ -77,8 +77,16 @@ def run_coupled(
     stationary,  # (S, C) bool
     config: SlamConfig,
     seed: int = 42,
+    depth_params=None,
 ):
     """Run the full coupled pipeline over S chunks of C frames.
+
+    `depth_params`: optional DepthNet checkpoint (the mono/MiDaS design
+    point, `src/DepthEstimator.cpp:15-112` + scale chain
+    `src/Slam.cpp:162-207`): keypoints whose SENSOR depth is invalid get
+    depth predicted from the gray image (models/depthnet.py), feeding the
+    mono scale chain and depth-backprojected map points. With all-zero
+    depth_u16 this is the depth-assisted monocular mode.
 
     Returns (final TrackState, DenseMapState, StepOutputs stacked
     (S*C, ...)). The caller times this ONE program; a scalar readback of
@@ -102,6 +110,12 @@ def run_coupled(
         kps, desc = _frontend_chunk(params, model, g, config)
         depth_m = d16.astype(jnp.float32) / c.depth_scale
         kpd = _kp_depth(depth_m, kps.xy, config)
+        if depth_params is not None:
+            from vslam_tpu.models import depthnet
+
+            logd = depthnet.predict_log_depth(depth_params, g)
+            kpd_pred = depthnet.sample_log_depth_at_keypoints(logd, kps.xy)
+            kpd = jnp.where(kpd > c.depth_min, kpd, kpd_pred)
         frames = FrameFeatures(
             xy=kps.xy, desc=desc, depth=kpd, valid=kps.valid,
             timestamp=ts, stationary=stat, frame_id=fids,

@@ -200,6 +200,50 @@ def superpoint_params_from_npz(path):
     return {"params": params}
 
 
+def save_depthnet_npz(path, params, dtype=np.float16):
+    """Save DepthNet Flax params as a flat npz (same scheme as
+    `save_superpoint_npz`: `layer/leaf` keys, f16 storage)."""
+    flat = {}
+    for layer, leaves in params["params"].items():
+        for k, v in leaves.items():
+            flat[f"{layer}/{k}"] = np.asarray(v).astype(dtype)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def depthnet_params_from_npz(path):
+    with np.load(path) as z:
+        params = {}
+        for key in z.files:
+            layer, leaf = key.split("/")
+            params.setdefault(layer, {})[leaf] = jnp.asarray(
+                z[key].astype(np.float32)
+            )
+    return {"params": params}
+
+
+def load_or_init_depthnet(
+    key: Optional[jax.Array] = None,
+    search_dirs=("models", "/root/models", "weights"),
+):
+    """Load the synthetically-trained DepthNet checkpoint
+    (`models/checkpoints/depthnet_synth.npz`, see
+    `models/train_depthnet.py`), else deterministic random init.
+    Returns (params, source_str). The mono pipeline treats "random-init"
+    as NO depth capability (a random net's depth would poison the scale
+    chain — the round-4 C7 failure mode this trained checkpoint fixes)."""
+    from vslam_tpu.models import depthnet as dn
+
+    npz = find_checkpoint(
+        tuple(search_dirs) + (TRAINED_SP_DIR,), ("depthnet_synth.npz",)
+    )
+    if npz is not None:
+        return depthnet_params_from_npz(npz), npz
+    if key is None:
+        key = jax.random.PRNGKey(11)
+    return dn.init_params(key), "random-init"
+
+
 def load_or_init_superpoint(
     key: Optional[jax.Array] = None,
     search_dirs=("models", "/root/models", "weights"),
