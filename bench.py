@@ -113,8 +113,8 @@ def main():
     ap.add_argument(
         "--stages", default="",
         help="comma-separated subset of optional stages to run (default all): "
-        "ate3,stress,mono,mono_depth,noise,frontend,tracking,dense,"
-        "multi_coupled,oracle,multi_tracking,ate_wide,long",
+        "ate3,stress,mono,mono_depth,noise,ate_holdout,frontend,tracking,"
+        "dense,multi_coupled,oracle,multi_tracking,ate_wide,long",
     )
     ap.add_argument(
         "--multi", type=int, default=-1,
@@ -734,6 +734,62 @@ def _run_stages(args, detail, hl, stage, budget):
         }
 
     stage("noise", E(80, 30), _stage_noise)
+
+    # ---- HELD-OUT FAMILY: renderer-overfit hedge (VERDICT r4 #5).
+    # SuperPoint was trained (and every other ATE stage evaluates) on the
+    # v1 renderer; this stage runs the SAME coupled program on v2 worlds
+    # (`synthetic.render_textured_v2`: structured textures, illumination
+    # field, vignette + frame-varying gamma — eval-only, never trained
+    # on) plus a frontend repeatability/precision comparison. ----
+    def _stage_holdout():
+        hold_seeds = [40, 41]
+        ates, tracked = [], []
+        for sd in hold_seeds:
+            _note(f"  holdout world seed={sd} family=v2 (disk-cached)")
+            d = wc.image_world(
+                nC, width=W, height=H, fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+                seed=sd, num_landmarks=lm_img, radius=_radius, family="v2",
+            )
+            g_h = chunked(d["gray"])
+            d_h = chunked(d["depth_u16"])
+            ts_h = chunked(d["timestamps"], np.float32)
+            st_h, _, outs_h = run_world(g_h, d_h, rgb1, ts_h, fid1, stat1)
+            res_h = pipeline.result_from_outputs(
+                st_h, outs_h, keep_refine=cfg.ekf.smooth_keep_refine,
+                rts_parallel=cfg.ekf.rts_parallel,
+            )
+            ates.append(round(float(ate_mod.compute_ate(
+                d["timestamps"], res_h.t_smoothed, d["timestamps"], d["t"],
+                with_scale=False,
+            ).rmse), 4))
+            tracked.append(round(
+                float(np.asarray(outs_h.tracking_ok)[1:].mean()), 4
+            ))
+        from vslam_tpu.models import train_superpoint as tsp
+
+        sp_v1 = tsp.evaluate_detector(params_c, family="v1")
+        sp_v2 = tsp.evaluate_detector(params_c, family="v2")
+        detail["holdout"] = {
+            "family": "v2 (structured textures, illum field, vignette, "
+                      "frame-varying gamma; eval-only)",
+            "ate_rmse_holdout_m": ates,
+            "tracked_frac": tracked,
+            "sp_repeatability_v1": round(sp_v1["repeatability"], 4),
+            "sp_repeatability_v2": round(sp_v2["repeatability"], 4),
+            "sp_match_precision_v1": round(sp_v1["match_precision"], 4),
+            "sp_match_precision_v2": round(sp_v2["match_precision"], 4),
+        }
+
+    stage(
+        "ate_holdout",
+        (E(150, 60) if all(
+            wc.is_cached(wc.image_world_tag(
+                nC, W, H, sd, lm_img, _radius, c.fx, c.fy, c.cx, c.cy,
+                family="v2",
+            )) for sd in (40, 41)
+        ) else E(600, 120)),
+        _stage_holdout,
+    )
 
     # ---- Stage attribution: frontend ----
     def _stage_frontend():

@@ -56,6 +56,15 @@ def main():
         note(f"world seed={seed} ({'cached' if wc.is_cached(tag) else 'render'})")
         wc.image_world(nC, seed=seed, num_landmarks=lm, radius=radius, **intr)
 
+    # Held-out v2-family worlds (bench ate_holdout uses seeds 40-41).
+    for seed in (40, 41):
+        tag = wc.image_world_tag(nC, W, H, seed, lm, radius,
+                                 c.fx, c.fy, c.cx, c.cy, family="v2")
+        note(f"holdout v2 seed={seed} "
+             f"({'cached' if wc.is_cached(tag) else 'render'})")
+        wc.image_world(nC, seed=seed, num_landmarks=lm, radius=radius,
+                       family="v2", **intr)
+
     # Stress kwargs mirror bench.py's STRESS_KW table exactly.
     s101 = dict(seed=101, loops=1.0)
     s202 = dict(seed=202, loops=2.5, pause=(0.3, 0.02), dropout=(0.6, 0.01))

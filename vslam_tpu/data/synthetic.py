@@ -381,12 +381,18 @@ def make_image_sequence(
     dt=0.1,
     with_rgb=True,
     depth_scale=5000.0,
+    family="v1",
 ):
     """Rasterized PIXELS-IN sequence for the coupled pipeline: textured
     room renders + analytic depth along a planar trajectory, in the TUM
     storage formats (gray uint8, depth uint16 at 1/5000 m). Unlike
     `make_sequence` (feature-level oracle), consumers must run a real
     frontend on these images.
+
+    `family`: "v1" = the training-distribution renderer
+    (`render_textured`); "v2" = the HELD-OUT family
+    (`render_textured_v2`: structured textures, illumination field,
+    vignette + frame-varying gamma) used only for evaluation.
 
     Returns a dict: timestamps (N,), R (N,3,3), t (N,3) ground truth;
     gray (N,H,W) u8; depth_u16 (N,H,W) u16; rgb (N,H,W,3) u8 or None.
@@ -397,7 +403,13 @@ def make_image_sequence(
     gray = np.zeros((num_frames, height, width), np.uint8)
     depth = np.zeros((num_frames, height, width), np.uint16)
     for i in range(num_frames):
-        img = render_textured(world, R[i], t[i], fx, fy, cx, cy, width, height)
+        if family == "v2":
+            img = render_textured_v2(
+                world, R[i], t[i], fx, fy, cx, cy, width, height,
+                frame_seed=i,
+            )
+        else:
+            img = render_textured(world, R[i], t[i], fx, fy, cx, cy, width, height)
         gray[i] = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         d = render_depth_room(
             R[i].astype(np.float64), t[i].astype(np.float64),
@@ -615,6 +627,65 @@ def render_depth_room(R, t, fx, fy, cx, cy, width, height, floor_y=1.5, wall_dis
     return z.astype(np.float32)
 
 
+def _visible_patch_order(world, R, t, fx, fy, cx, cy, width, height, patch):
+    """Project landmarks, keep splat-safe in-bounds ones, order far-to-near
+    (so near landmarks overwrite). Returns (ids, u, v)."""
+    Rcw = R.T
+    pc = world.landmarks @ Rcw.T + (-Rcw @ t)
+    z = pc[:, 2]
+    vis = z > 0.3
+    ids = np.nonzero(vis)[0]
+    u = fx * pc[ids, 0] / z[ids] + cx
+    v = fy * pc[ids, 1] / z[ids] + cy
+    r = patch // 2
+    inb = (u >= r + 2) & (u < width - r - 2) & (v >= r + 2) & (v < height - r - 2)
+    ids, u, v = ids[inb], u[inb], v[inb]
+    order = np.argsort(-z[ids])
+    return ids[order], u[order], v[order]
+
+
+def _splat_subpixel(img, P_sel, u, v, patch, width):
+    """Scatter pre-selected patch textures (N, patch, patch) at subpixel
+    centers (u, v) into `img` in the given order (later writes win) with
+    4-tap bilinear shifting + coverage blending at the borders."""
+    r = patch // 2
+    ax = u - r
+    ay = v - r
+    x0 = np.floor(ax).astype(np.int64)
+    y0 = np.floor(ay).astype(np.int64)
+    fx_ = (ax - x0).astype(np.float32)[:, None, None]
+    fy_ = (ay - y0).astype(np.float32)[:, None, None]
+    Q = np.pad(P_sel, ((0, 0), (1, 1), (1, 1)))
+    ones = np.pad(
+        np.ones((1, patch, patch), np.float32), ((0, 0), (1, 1), (1, 1))
+    )
+
+    def taps(A):
+        return (
+            (1 - fy_) * (1 - fx_) * A[:, 1:, 1:]
+            + (1 - fy_) * fx_ * A[:, 1:, :-1]
+            + fy_ * (1 - fx_) * A[:, :-1, 1:]
+            + fy_ * fx_ * A[:, :-1, :-1]
+        )
+
+    S = taps(Q)
+    W = taps(ones)
+    dy, dx = np.mgrid[0 : patch + 1, 0 : patch + 1]
+    flat = (y0[:, None, None] + dy) * width + (x0[:, None, None] + dx)
+    existing = img.reshape(-1)[flat]
+    img.reshape(-1)[flat.reshape(-1)] = (S + (1.0 - W) * existing).reshape(-1)
+    return img
+
+
+def _bandlimit(patches):
+    """Separable binomial blur (see render_textured: stabilizes
+    descriptors across subpixel phases, like a band-limited camera)."""
+    ep = np.pad(patches, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    patches = 0.25 * ep[:, :-2, 1:-1] + 0.5 * ep[:, 1:-1, 1:-1] + 0.25 * ep[:, 2:, 1:-1]
+    ep = np.pad(patches, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    return 0.25 * ep[:, :, :-2] + 0.5 * ep[:, :, 1:-1] + 0.25 * ep[:, :, 2:]
+
+
 def render_textured(world, R, t, fx, fy, cx, cy, width, height, patch=9, seed=123):
     """Rasterize landmarks as UNIQUE random texture patches (so image-level
     descriptors are distinctive, unlike identical Gaussian spots) over a
@@ -639,56 +710,99 @@ def render_textured(world, R, t, fx, fy, cx, cy, width, height, patch=9, seed=12
     # (crisp at f=0, soft at f=0.5), which destabilizes descriptors
     # frame-to-frame; pre-blurred texture looks the same under any
     # fractional shift, like a real band-limited camera image.
-    ep = np.pad(patches, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    patches = 0.25 * ep[:, :-2, 1:-1] + 0.5 * ep[:, 1:-1, 1:-1] + 0.25 * ep[:, 2:, 1:-1]
-    ep = np.pad(patches, ((0, 0), (0, 0), (1, 1)), mode="edge")
-    patches = 0.25 * ep[:, :, :-2] + 0.5 * ep[:, :, 1:-1] + 0.25 * ep[:, :, 2:]
+    patches = _bandlimit(patches)
 
     img = np.tile(np.linspace(0.15, 0.3, width, dtype=np.float32), (height, 1))
-    Rcw = R.T
-    pc = world.landmarks @ Rcw.T + (-Rcw @ t)
-    z = pc[:, 2]
-    vis = z > 0.3
-    ids = np.nonzero(vis)[0]
-    u = fx * pc[ids, 0] / z[ids] + cx
-    v = fy * pc[ids, 1] / z[ids] + cy
-    r = patch // 2
-    inb = (u >= r + 2) & (u < width - r - 2) & (v >= r + 2) & (v < height - r - 2)
-    ids, u, v = ids[inb], u[inb], v[inb]
-    order = np.argsort(-z[ids])  # far first: near landmarks overwrite
-    ids, u, v = ids[order], u[order], v[order]
-    # Continuous left/top edge of the patch; integer block origin + the
-    # fractional shift applied to the texture itself.
-    ax = u - r
-    ay = v - r
-    x0 = np.floor(ax).astype(np.int64)
-    y0 = np.floor(ay).astype(np.int64)
-    fx_ = (ax - x0).astype(np.float32)[:, None, None]
-    fy_ = (ay - y0).astype(np.float32)[:, None, None]
-    # 4-tap bilinear shift on the zero-padded texture gives the shifted
-    # values over a (patch+1)^2 block; the same taps on a ones-mask give
-    # each pixel's coverage weight, so partially-covered border pixels
-    # blend with whatever is already in the image.
-    Q = np.pad(patches[ids], ((0, 0), (1, 1), (1, 1)))
-    ones = np.pad(
-        np.ones((1, patch, patch), np.float32), ((0, 0), (1, 1), (1, 1))
+    ids, u, v = _visible_patch_order(
+        world, R, t, fx, fy, cx, cy, width, height, patch
     )
-
-    def taps(A):
-        return (
-            (1 - fy_) * (1 - fx_) * A[:, 1:, 1:]
-            + (1 - fy_) * fx_ * A[:, 1:, :-1]
-            + fy_ * (1 - fx_) * A[:, :-1, 1:]
-            + fy_ * fx_ * A[:, :-1, :-1]
-        )
-
-    S = taps(Q)
-    W = taps(ones)
-    dy, dx = np.mgrid[0 : patch + 1, 0 : patch + 1]
-    flat = (y0[:, None, None] + dy) * width + (x0[:, None, None] + dx)
-    existing = img.reshape(-1)[flat]
-    img.reshape(-1)[flat.reshape(-1)] = (S + (1.0 - W) * existing).reshape(-1)
+    img = _splat_subpixel(img, patches[ids], u, v, patch, width)
     return np.clip(img, 0.0, 1.0)
+
+
+def render_textured_v2(world, R, t, fx, fy, cx, cy, width, height,
+                       patch=11, seed=123, frame_seed=0):
+    """HELD-OUT world family: same room geometry, DIFFERENT image
+    statistics — the renderer-overfit hedge (the learned frontend is
+    trained only on `render_textured` v1 scenes; this family is used for
+    EVALUATION ONLY, never training).
+
+    Deltas from v1 (all affect the statistics SuperPoint + the matcher
+    see, none affect scene geometry):
+      * structured patch textures — oriented sinusoidal gratings,
+        checkerboards, radial blobs with per-landmark contrast jitter —
+        instead of band-limited white noise;
+      * larger patches (11 px vs 9);
+      * a low-frequency 2-D illumination field background instead of the
+        horizontal linear gradient;
+      * radial vignetting and per-frame gamma + exposure wander
+        (`frame_seed` varies the photometrics frame to frame, like auto
+        exposure hunting on a real camera).
+
+    The counterpart of evaluating the reference's real-image frontend
+    (`/root/reference/src/FeatureExtractor.cpp:87-259`) on a sequence it
+    was not tuned on.
+    """
+    rng = np.random.default_rng(seed + 7)  # patches persistent per landmark
+    P = len(world.landmarks)
+    yy, xx = np.mgrid[0:patch, 0:patch].astype(np.float32)
+    xc = xx - patch // 2
+    yc = yy - patch // 2
+    kind = rng.integers(0, 3, P)
+    theta = rng.uniform(0, np.pi, P).astype(np.float32)
+    freq = rng.uniform(0.15, 0.45, P).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi, P).astype(np.float32)
+    proj = (
+        xc[None] * np.cos(theta)[:, None, None]
+        + yc[None] * np.sin(theta)[:, None, None]
+    )
+    grating = 0.5 + 0.45 * np.sin(
+        2 * np.pi * freq[:, None, None] * proj + phase[:, None, None]
+    )
+    cell = rng.uniform(1.5, 3.5, P).astype(np.float32)[:, None, None]
+    checker = np.where(
+        (np.floor(xc[None] / cell) + np.floor(yc[None] / cell)) % 2 < 1,
+        0.15, 0.9,
+    ).astype(np.float32)
+    sig = rng.uniform(1.5, 3.0, P).astype(np.float32)[:, None, None]
+    blob = 0.85 * np.exp(-(xc[None] ** 2 + yc[None] ** 2) / (2 * sig**2)) + 0.1
+    patches = np.where(
+        (kind == 0)[:, None, None], grating,
+        np.where((kind == 1)[:, None, None], checker, blob),
+    ).astype(np.float32)
+    contrast = rng.uniform(0.6, 1.0, P).astype(np.float32)[:, None, None]
+    offset = rng.uniform(0.0, 0.25, P).astype(np.float32)[:, None, None]
+    patches = np.clip(patches * contrast + offset, 0.0, 1.0)
+    patches = _bandlimit(patches)
+
+    # Low-frequency illumination field background (per-world, persistent).
+    gx = np.linspace(0, 1, width, dtype=np.float32)[None, :]
+    gy = np.linspace(0, 1, height, dtype=np.float32)[:, None]
+    img = np.full((height, width), 0.22, np.float32)
+    for _ in range(3):
+        fx2, fy2 = rng.uniform(0.5, 2.0, 2)
+        ph2x, ph2y = rng.uniform(0, 2 * np.pi, 2)
+        amp = rng.uniform(0.02, 0.06)
+        img = img + amp * np.sin(2 * np.pi * fx2 * gx + ph2x) * np.sin(
+            2 * np.pi * fy2 * gy + ph2y
+        )
+    img = img.astype(np.float32).copy()
+
+    ids, u, v = _visible_patch_order(
+        world, R, t, fx, fy, cx, cy, width, height, patch
+    )
+    img = _splat_subpixel(img, patches[ids], u, v, patch, width)
+
+    # Per-frame photometrics: vignette (persistent strength) + gamma and
+    # exposure wander (frame-varying).
+    frng = np.random.default_rng(seed + 1009 * (frame_seed + 1))
+    vstr = 0.3
+    r2 = ((gx - 0.5) * 2) ** 2 + ((gy - 0.5) * 2) ** 2
+    img = img * (1.0 - vstr * (r2 / 2.0))
+    gamma = frng.uniform(0.8, 1.3)
+    gain = frng.uniform(0.9, 1.1)
+    img = np.clip(img * gain, 0.0, 1.0) ** gamma
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
 def render_gray(world, R, t, fx, fy, cx, cy, width, height, spot_sigma=1.5):

@@ -76,10 +76,11 @@ def _kw_hash(kw: dict) -> str:
 
 
 def image_world_tag(n, width, height, seed, num_landmarks, radius,
-                    fx, fy, cx, cy) -> str:
+                    fx, fy, cx, cy, family="v1") -> str:
     cam = _kw_hash(dict(fx=float(fx), fy=float(fy), cx=float(cx), cy=float(cy)))
+    fam = "" if family == "v1" else f"_f{family}"
     return (
-        f"img_n{n}_{width}x{height}_s{seed}_lm{num_landmarks}_r{radius}_c{cam}"
+        f"img_n{n}_{width}x{height}_s{seed}_lm{num_landmarks}_r{radius}_c{cam}{fam}"
     )
 
 
@@ -94,16 +95,16 @@ def stress_world_tag(n, width, height, num_landmarks, variant: str,
 
 
 def image_world(n, *, width, height, fx, fy, cx, cy, seed, num_landmarks,
-                radius):
+                radius, family="v1"):
     """Disk-cached `synthetic.make_image_sequence` (gray-only)."""
     tag = image_world_tag(n, width, height, seed, num_landmarks, radius,
-                          fx, fy, cx, cy)
+                          fx, fy, cx, cy, family=family)
     return _load_or_make(
         tag, IMAGE_KEYS,
         lambda: synthetic.make_image_sequence(
             n, width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy,
             seed=seed, num_landmarks=num_landmarks, radius=radius,
-            with_rgb=False,
+            with_rgb=False, family=family,
         ),
     )
 

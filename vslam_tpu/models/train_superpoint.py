@@ -76,7 +76,7 @@ def _yaw_pitch_R(yaw, pitch):
 
 
 def textured_batch(rng, batch, height=120, width=160, max_corners=160,
-                   num_landmarks=300, fx=None, fy=None):
+                   num_landmarks=300, fx=None, fy=None, family="v1"):
     """Textured room renders with exact keypoint labels.
 
     Scenes come from the same generator the pixels-in E2E tests rasterize
@@ -106,7 +106,11 @@ def textured_batch(rng, batch, height=120, width=160, max_corners=160,
             [rng.uniform(-2.5, 2.5), rng.uniform(-0.3, 0.9), rng.uniform(-2.5, 2.5)],
             np.float32,
         )
-        imgs[b] = synthetic.render_textured(
+        render = (
+            synthetic.render_textured_v2 if family == "v2"
+            else synthetic.render_textured
+        )
+        imgs[b] = render(
             world, R, t, fx, fy, cx, cy, width, height,
             seed=int(rng.integers(1 << 31)),
         ) + rng.normal(0, 0.01, (height, width))
@@ -363,10 +367,16 @@ def train_synthetic(steps=50, batch=8, height=120, width=160, seed=0, log_every=
 
 
 def evaluate_detector(params, seed=123, n_pairs=8, height=120, width=160,
-                      max_keypoints=100, conf=0.015, ratio=0.85):
+                      max_keypoints=100, conf=0.015, ratio=0.85,
+                      family="v1"):
     """Held-out self-eval of trained SuperPoint weights: detector
     repeatability + descriptor match precision between homography-related
     views of FRESH textured renders (worlds never seen in training).
+
+    `family="v2"` evaluates on the HELD-OUT renderer family
+    (`synthetic.render_textured_v2`: structured textures, illumination
+    field, vignette/gamma) — image statistics the training set never
+    contained, bounding the renderer-overfit gap.
 
     repeatability: fraction of view-A keypoints whose warp lands within
     3 px of a detected view-B keypoint. match_precision: ratio-test
@@ -376,7 +386,7 @@ def evaluate_detector(params, seed=123, n_pairs=8, height=120, width=160,
     from vslam_tpu.ops import matching, nms
 
     rng = np.random.default_rng(seed)
-    imgs, _, _ = textured_batch(rng, n_pairs, height, width)
+    imgs, _, _ = textured_batch(rng, n_pairs, height, width, family=family)
     imgs = jnp.asarray(imgs)
     H = random_homographies(jax.random.PRNGKey(seed), n_pairs, height, width)
     warped, _ = warp_images(imgs, H)
