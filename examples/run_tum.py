@@ -34,8 +34,21 @@ def main():
     ap.add_argument("--out", default="out")
     ap.add_argument("--mono", action="store_true", help="monocular mode (ignore depth)")
     ap.add_argument("--midas", action="store_true",
-                    help="in mono mode, fill depth from MiDaS for the scale chain "
-                    "(activates the reference's latent DepthEstimator, C7)")
+                    help="in mono mode, fill depth from the depth estimator for "
+                    "the scale chain (activates the reference's latent "
+                    "DepthEstimator, C7): real MiDaS weights when a checkpoint "
+                    "exists, else the trained synthetic DepthNet "
+                    "(models/checkpoints/depthnet_synth.npz)")
+    ap.add_argument("--live", action="store_true",
+                    help="streaming mode: process the sequence in chunks, "
+                    "updating the viewer + trajectory after every chunk while "
+                    "the run is in flight (the reference's render-loop ∥ "
+                    "SLAM-worker topology, src/main.cpp:1512-1561)")
+    ap.add_argument("--restart-at", type=int, default=0,
+                    help="in --live mode, restart the pipeline (fresh TrackState, "
+                    "like the reference's UI-triggered Slam reconstruction, "
+                    "src/main.cpp:1512-1556) at this processed-frame index; "
+                    "each segment exports its own trajectory")
     ap.add_argument("--frame-step", type=int, default=3)
     ap.add_argument("--cache", default=None, help="feature cache path (.npz or SPCF .bin)")
     ap.add_argument("--poisson", action="store_true",
@@ -104,32 +117,69 @@ def main():
         stationary = pipeline.detect_stationary(seq_meta.accel, stamps)
         print(f"[imu] gravity {gravity}, stationary frames: {int(stationary.sum())}")
 
-    # ---- MiDaS mono depth (reference C7, latent there; live here) ----
+    # ---- Mono depth estimation (reference C7, latent there; live here):
+    # real MiDaS weights when present, else the trained DepthNet ----
     if args.mono and args.midas:
-        from vslam_tpu.models import midas as midas_mod
         from vslam_tpu.models import weights as weights_mod
 
-        mp, midas_src = weights_mod.load_or_init_midas(
-            size=cfg.frontend.midas_input_size
-        )
-        print(f"[midas] weights: {midas_src}")
-        est = jax.jit(
-            lambda p, im: midas_mod.estimate_depth(
-                p, im, size=cfg.frontend.midas_input_size
-            )
+        midas_ckpt = weights_mod.find_checkpoint(
+            ("models", "/root/models", "weights"),
+            ("midas_v21_small_256.pt", "midas_v21_small.pt", "midas_small.pt"),
         )
         t0 = time.perf_counter()
-        rel = []
-        for k in range(0, len(idxs), 8):
-            batch = np.stack(
-                [np.stack([g] * 3, -1) for g in grays[k : k + 8]]
-            ).astype(np.float32)
-            rel.append(np.asarray(est(mp, jnp.asarray(batch))))
-        rel = np.concatenate(rel)
-        # relative inverse depth -> pseudo-metric depth for the scale chain
-        depths = 3.0 / np.maximum(rel, 0.2)
-        print(f"[midas] relative depth for {len(idxs)} frames in "
+        if midas_ckpt is not None:
+            from vslam_tpu.models import midas as midas_mod
+
+            mp, midas_src = weights_mod.load_or_init_midas(
+                size=cfg.frontend.midas_input_size
+            )
+            print(f"[midas] weights: {midas_src}")
+            est = jax.jit(
+                lambda p, im: midas_mod.estimate_depth(
+                    p, im, size=cfg.frontend.midas_input_size
+                )
+            )
+            rel = []
+            for k in range(0, len(idxs), 8):
+                batch = np.stack(
+                    [np.stack([g] * 3, -1) for g in grays[k : k + 8]]
+                ).astype(np.float32)
+                rel.append(np.asarray(est(mp, jnp.asarray(batch))))
+            rel = np.concatenate(rel)
+            # relative inverse depth -> pseudo-metric depth for the scale chain
+            depths = 3.0 / np.maximum(rel, 0.2)
+        else:
+            from vslam_tpu.models import depthnet as dn_mod
+
+            dn_params, dn_src = weights_mod.load_or_init_depthnet()
+            if dn_src == "random-init":
+                print("[depth] no MiDaS checkpoint and no trained DepthNet: "
+                      "random depth would poison the scale chain; staying "
+                      "pure-mono")
+            else:
+                print(f"[depth] DepthNet weights: {dn_src}")
+                est = jax.jit(
+                    lambda p, g: dn_mod.predict_log_depth(p, g)
+                )
+                dep = []
+                for k in range(0, len(idxs), 16):
+                    g_u8 = jnp.asarray(
+                        (grays[k : k + 16] * 255.0).astype(np.uint8)
+                    )
+                    logd = est(dn_params, g_u8)
+                    # full-res metric depth via nearest-cell upsample
+                    d = np.exp(np.asarray(logd))
+                    d = d.repeat(dn_mod.OUT_STRIDE, 1).repeat(
+                        dn_mod.OUT_STRIDE, 2
+                    )[:, : grays.shape[1], : grays.shape[2]]
+                    dep.append(d.astype(np.float32))
+                depths = np.concatenate(dep)
+        print(f"[depth] estimated depth for {len(idxs)} frames in "
               f"{time.perf_counter() - t0:.1f}s")
+
+    if args.live:
+        return _run_live(args, cfg, grays, depths, stamps, rgbs, gravity,
+                         h0, stationary, seq_meta, idxs)
 
     # ---- L2: frontend ----
     t0 = time.perf_counter()
@@ -281,6 +331,154 @@ def main():
     if seq_meta.gt is not None:
         summary["ate_rmse_m"] = round(res_ate.rmse, 4)
         summary["rpe_rmse_m"] = round(res_rpe.rmse, 4)
+    print("[summary] " + json.dumps(summary))
+    print(f"[done] outputs in {args.out}/")
+
+
+def _run_live(args, cfg, grays, depths, stamps, rgbs, gravity, h0,
+              stationary, seq_meta, idxs):
+    """STREAMING operating mode: chunked incremental loop that updates the
+    viewer + trajectory after every chunk while the run is in flight, with
+    a mid-sequence restart path.
+
+    The reference is an interactive real-time system — render loop ∥ SLAM
+    worker ∥ filter worker with live viewer updates and a UI-triggered
+    restart that reconstructs `Slam` (`/root/reference/src/main.cpp:
+    1512-1561`). The TPU-native form: per chunk, batched frontend ->
+    tracking scan continuing from the carried TrackState -> in-run PGO
+    when the chunk accepted a loop constraint -> dense fusion -> viewer
+    rewrite (the self-contained HTML supports playback, so reloading it
+    mid-run shows the trajectory so far). `--restart-at N` re-initializes
+    the TrackState at processed-frame N (fresh map/ring/EKF, like the
+    reference's restart), exporting each segment's trajectory separately.
+    """
+    import functools
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from vslam_tpu.core import frontend as fe, pipeline
+    from vslam_tpu.core.state import init_state
+    from vslam_tpu.eval import ate as ate_mod
+    from vslam_tpu.io import trajectory
+    from vslam_tpu.ops import gridhash
+    from vslam_tpu.viz import web as webviz
+
+    cam = cfg.camera
+    chunk = cfg.runtime.chunk_size
+    n = len(idxs)
+    viewer_path = os.path.join(args.out, "viewer.html")
+    front = fe.make_frontend(cfg, kind="orb" if args.orb else "auto")
+    print(f"[live] frontend weights: {front.weight_source}; "
+          f"chunk={chunk}; restart_at={args.restart_at or 'off'}")
+
+    inrun_correct = jax.jit(
+        functools.partial(pipeline.inrun_pgo_correct, config=cfg)
+    )
+
+    def fresh():
+        return (
+            init_state(cfg, gravity=gravity, initial_height=h0),
+            gridhash.init_dense_map(
+                cfg.dense.hash_capacity, cfg.dense.cloud_capacity
+            ),
+            [],  # stacked chunk outputs
+        )
+
+    def finalize(state, outs_list, seg_id):
+        """Stack this segment's outputs, smooth, export trajectory (+ ATE
+        when ground truth exists). Returns the segment RunResult."""
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
+            *outs_list,
+        )
+        result = pipeline.result_from_outputs(
+            state, stacked, smooth=True,
+            keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        suffix = f"_seg{seg_id}" if args.restart_at else ""
+        trajectory.save_trajectory(
+            os.path.join(args.out, f"estimated_trajectory{suffix}.txt"),
+            result.timestamps, result.t_smoothed,
+        )
+        if seq_meta.gt is not None:
+            gt = seq_meta.gt
+            a = ate_mod.compute_ate(
+                result.timestamps, result.t_smoothed, gt[:, 0], gt[:, 1:4]
+            )
+            print(f"[live] segment {seg_id}: ATE RMSE {a.rmse:.4f} m "
+                  f"({a.num_pairs} pairs)")
+        return result
+
+    state, dstate, outs_list = fresh()
+    seg_id = 0
+    t_start = time.perf_counter()
+    restart_at = args.restart_at
+    k0 = 0
+    while k0 < n:
+        k1 = min(k0 + chunk, n)
+        if restart_at and k0 < restart_at < k1:
+            k1 = restart_at  # cut the chunk at the restart boundary
+        feats = fe.extract_sequence(
+            front, grays[k0:k1], depths[k0:k1], stamps[k0:k1],
+            stationary=None if stationary is None else stationary[k0:k1],
+            frame_indices=np.asarray(idxs[k0:k1]),
+        )
+        n_loops0 = int(np.asarray(state.loops.valid).sum())
+        res_c = pipeline.run_tracking(feats, cfg, state=state, smooth=False)
+        state = res_c.final_state
+        if cfg.opt.inrun_pgo and int(np.asarray(state.loops.valid).sum()) > n_loops0:
+            state = inrun_correct(state)
+            print("[live]   in-run PGO correction applied")
+        outs_list.append(res_c.outputs)
+        dstate = gridhash.fuse_sequence(
+            dstate, depths[k0:k1], np.stack(rgbs[k0:k1]), res_c.R, res_c.t,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            pixel_step=cfg.dense.pixel_step, max_depth=cfg.dense.max_depth,
+            voxel_size=cfg.dense.voxel_size, chunk=min(chunk, k1 - k0),
+        )
+        # Live viewer rewrite: the whole segment so far, smoothed.
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs]),
+            *outs_list,
+        )
+        res_live = pipeline.result_from_outputs(
+            state, stacked, smooth=True,
+            keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        n_dense = int(dstate.cloud_count)
+        webviz.export_run(
+            res_live, viewer_path,
+            dense=(np.asarray(dstate.cloud_xyz)[:n_dense],
+                   np.asarray(dstate.cloud_rgb)[:n_dense]) if n_dense else None,
+            gt_trajectory=None if seq_meta.gt is None else seq_meta.gt[:, 1:4],
+            title=f"vslam_tpu LIVE — segment {seg_id}, frame {k1}/{n}",
+        )
+        elapsed = time.perf_counter() - t_start
+        print(f"[live] frames {k0}-{k1 - 1}: kf="
+              f"{int(np.asarray(state.kf_count))} "
+              f"loops={int(np.asarray(state.loops.valid).sum())} "
+              f"dense={n_dense} ({k1 / elapsed:.1f} fps cum) -> viewer updated")
+        if restart_at and k1 == restart_at:
+            finalize(state, outs_list, seg_id)
+            print(f"[live] RESTART at processed frame {k1}: fresh TrackState "
+                  f"(src/main.cpp:1512-1556 semantics)")
+            state, dstate, outs_list = fresh()
+            seg_id += 1
+        k0 = k1
+
+    result = finalize(state, outs_list, seg_id)
+    summary = {
+        "mode": "live",
+        "frames": n,
+        "segments": seg_id + 1,
+        "keyframes": int(np.asarray(state.keyframes.valid).sum()),
+        "dense_points": int(dstate.cloud_count),
+        "viewer": viewer_path,
+    }
     print("[summary] " + json.dumps(summary))
     print(f"[done] outputs in {args.out}/")
 
