@@ -342,6 +342,14 @@ class OptimizerConfig:
     # radii re-admit the mismatch drag the odometry edges suppress).
     ba_odom_trans_sigma: float = 0.01
     ba_odom_rot_sigma: float = 0.005
+    # Holdout validation gate (round-5, VERDICT r4 #2): a deterministic
+    # fraction of BA observations is withheld from the solve, and the
+    # solution is accepted only if it ALSO improves the Huber
+    # reprojection cost on the withheld set. The internal-cost gates can
+    # accept steps that fit measurement noise (round-4: stress ATE
+    # 0.059 -> 0.0643 post-backend); held-out generalization is the
+    # honest accept test. 0 disables (round-4 behavior).
+    ba_holdout_frac: float = 0.1
     ba_huber_px: float = 5.0
     max_iterations: int = 10
     convergence: float = 1e-6
@@ -362,6 +370,13 @@ class OptimizerConfig:
     pgo_height_sigma: float = 0.005
     pgo_iterations: int = 20
     max_loop_constraints: int = 32
+    # DCS (Dynamic Covariance Scaling) on loop-closure edges: a loop edge
+    # whose chi^2 exceeds phi is down-weighted by s = 2*phi/(phi+chi2),
+    # so one wrong closure that slipped the detection gates cannot drag
+    # the whole graph (round-5; the reference trusts its gates outright,
+    # `Optimizer.cpp:723-755`). A consistent edge at the sigmas has
+    # chi^2 ~ 6 (dof); phi=16 leaves <=1.6-sigma edges at full weight.
+    pgo_loop_dcs_phi: float = 16.0
 
     # IN-RUN loop correction (the streaming form of the reference's
     # loop-closure -> PGO design point, `src/Slam.cpp:730-798` +

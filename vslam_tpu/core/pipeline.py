@@ -258,6 +258,13 @@ def pgo_ring_solve(st, gravity_opt, initial_height, config,
         e_t=jnp.concatenate([e_t, loops.t_rel]),
         e_info=jnp.concatenate([e_info, l_info]),
         e_valid=jnp.concatenate([e_valid, l_fresh]),
+        # DCS on LOOP edges only (odometry edges are trusted): a wrong
+        # closure that slipped the detection gates is down-weighted
+        # instead of dragging the whole graph (ops/pgo.py `_dcs_scale`).
+        e_robust=jnp.concatenate(
+            [jnp.zeros(e_i.shape[0], bool), jnp.ones(li.shape[0], bool)]
+        ),
+        dcs_phi=jnp.asarray(oc.pgo_loop_dcs_phi, jnp.float32),
         gravity=st.gravity if gravity_opt is None else gravity_opt,
         height=initial_height,
         height_info=jnp.asarray(1.0 / oc.pgo_height_sigma**2, jnp.float32),
@@ -483,6 +490,90 @@ def _ba_finish(kfs, map_pos, slots, t0_win, R_opt, t_opt, X_opt, cand,
     return R_new, t_new, t_corr, t_corr_s, pos_new
 
 
+def _ba_gated_solve(prob, config: SlamConfig, iterations: int):
+    """BA LM solve wrapped in the full gate chain — shared by the fused
+    backend (`_backend_pass`) and the sequential path (`run_windowed_ba`)
+    so the two stay equivalent by construction. Pure traced function.
+
+    Gates:
+      1. significance pre-gate (skip the LM solve when the accept gate
+         could only reject it — `ba_significant`);
+      2. `ba_accept_window` (joint + pose-vs-original-points improvement);
+      3. HOLDOUT VALIDATION (OptimizerConfig.ba_holdout_frac > 0): a
+         deterministic ~10% of observations are withheld from the solve;
+         the solution must also improve the Huber reprojection cost on
+         the WITHHELD set. Internal-cost gates can accept steps that fit
+         measurement noise (round-4 measured: stress-world ATE 0.059 ->
+         0.0643 post-backend); generalization to unseen observations is
+         the honest test — with too few withheld observations (< 32) the
+         gate abstains rather than deciding on noise.
+
+    Returns (R_opt, t_opt, X_opt, accept).
+    """
+    from vslam_tpu.ops import ba as ba_ops
+
+    oc = config.opt
+    frac = oc.ba_holdout_frac
+    if frac > 0.0:
+        W_, P_ = prob.obs_valid.shape
+        ii = jnp.arange(W_, dtype=jnp.uint32)[:, None]
+        jj = jnp.arange(P_, dtype=jnp.uint32)[None, :]
+        h = (ii * jnp.uint32(2654435761) + jj * jnp.uint32(40503)) % jnp.uint32(1000)
+        val_m = (h < jnp.uint32(int(frac * 1000))) & prob.obs_valid
+        train_m = prob.obs_valid & ~val_m
+        prob_train = prob._replace(
+            obs_valid=train_m,
+            point_valid=prob.point_valid & (jnp.sum(train_m, axis=0) >= 2),
+        )
+        prob_val = prob._replace(obs_valid=val_m)
+    else:
+        prob_train = prob
+        prob_val = None
+
+    sig = ba_ops.ba_significant(
+        prob_train, huber_px=oc.ba_huber_px,
+        min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
+    )
+
+    def _opt(_):
+        R_o, t_o, X_o, _ = ba_ops.bundle_adjust_robust(
+            prob_train, iterations=iterations,
+            huber_px=oc.ba_huber_px, gate2_px=oc.ba_gate_px,
+            point_prior_weight=oc.ba_point_prior_weight,
+            odo_trans_sigma=oc.ba_odom_trans_sigma,
+            odo_rot_sigma=oc.ba_odom_rot_sigma,
+            rtol=oc.ba_converge_rtol,
+        )
+        acc = ba_ops.ba_accept_window(
+            prob_train, R_o, t_o, X_o, huber_px=oc.ba_huber_px,
+            min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
+        )
+        if prob_val is not None:
+            n_val = jnp.sum(
+                prob_val.obs_valid
+                & prob_val.pose_valid[:, None]
+                & prob_val.point_valid[None, :]
+            )
+            c_before = ba_ops.window_cost(
+                prob_val, prob.R, prob.t, prob.X, huber_px=oc.ba_huber_px
+            )
+            c_after = ba_ops.window_cost(
+                prob_val, R_o, t_o, X_o, huber_px=oc.ba_huber_px
+            )
+            acc = acc & ((n_val < 32) | (c_after < c_before))
+        return R_o, t_o, X_o, acc
+
+    def _noop(_):
+        return prob.R, prob.t, prob.X, jnp.asarray(False)
+
+    return jax.lax.cond(sig, _opt, _noop, None)
+
+
+_ba_gated_solve_jit = jax.jit(
+    _ba_gated_solve, static_argnames=("config", "iterations")
+)
+
+
 def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int] = None):
     """Post-hoc bundle adjustment over the keyframe chain (activates the
     reference's disabled local BA capability, C27: `Optimizer.cpp:187-599`,
@@ -552,31 +643,13 @@ def run_windowed_ba(result: RunResult, config: SlamConfig, window: Optional[int]
         fx=jnp.asarray(c.fx), fy=jnp.asarray(c.fy),
         cx=jnp.asarray(c.cx), cy=jnp.asarray(c.cy),
     )
-    # Significance pre-gate (same condition and parameters as the fused
-    # backend, so the two paths stay equivalent): skip the LM solve when
-    # the accept gate below could only reject it. One scalar readback.
-    if bool(
-        ba_ops.ba_significant_jit(
-            prob, oc.ba_huber_px, oc.ba_chain_min_cost_per_obs
-        )
-    ):
-        R_opt, t_opt, X_opt, cost = ba_ops.bundle_adjust_robust(
-            prob, iterations=iterations, huber_px=oc.ba_huber_px,
-            gate2_px=oc.ba_gate_px,
-            point_prior_weight=oc.ba_point_prior_weight,
-            odo_trans_sigma=oc.ba_odom_trans_sigma,
-            odo_rot_sigma=oc.ba_odom_rot_sigma,
-            rtol=oc.ba_converge_rtol,
-        )
-        # Gain gate (same parameters as the fused backend, so the two
-        # paths stay equivalent).
-        accept = ba_ops.ba_accept_window(
-            prob, R_opt, t_opt, X_opt, huber_px=oc.ba_huber_px,
-            min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
-        )
-    else:
-        R_opt, t_opt, X_opt = prob.R, prob.t, prob.X
-        accept = jnp.asarray(False)
+    # Shared gate chain (significance pre-gate + accept + holdout
+    # validation) — ONE implementation with the fused backend
+    # (`_ba_gated_solve`), so the two paths stay equivalent by
+    # construction. One device program, one result fetch.
+    R_opt, t_opt, X_opt, accept = _ba_gated_solve_jit(
+        prob, config, iterations
+    )
     R_opt = jnp.where(accept, R_opt, prob.R)
     t_opt = jnp.where(accept, t_opt, prob.t)
     X_opt = jnp.where(accept, X_opt, prob.X)
@@ -683,37 +756,12 @@ def _backend_pass(st, res_R, res_t, res_t_smoothed, gravity_opt, initial_height,
             cx=jnp.asarray(config.camera.cx),
             cy=jnp.asarray(config.camera.cy),
         )
-        # Significance pre-gate: the accept gate below rejects any
-        # solution of a window already at the pixel-noise floor, so the
-        # 2-phase LM (ba_global_iterations + re-gated polish of Schur
-        # solves) is skipped outright when it cannot be accepted —
-        # output-identical, and on a healthy run the backend collapses
-        # to the problem build + one residual pass.
-        sig = ba_ops.ba_significant(
-            prob, huber_px=oc.ba_huber_px,
-            min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
-        )
-
-        def _ba_opt(_):
-            R_o, t_o, X_o, _ = ba_ops.bundle_adjust_robust(
-                prob, iterations=oc.ba_global_iterations,
-                huber_px=oc.ba_huber_px, gate2_px=oc.ba_gate_px,
-                point_prior_weight=oc.ba_point_prior_weight,
-                odo_trans_sigma=oc.ba_odom_trans_sigma,
-                odo_rot_sigma=oc.ba_odom_rot_sigma,
-                rtol=oc.ba_converge_rtol,
-            )
-            acc = ba_ops.ba_accept_window(
-                prob, R_o, t_o, X_o, huber_px=oc.ba_huber_px,
-                min_cost_per_obs=oc.ba_chain_min_cost_per_obs,
-            )
-            return R_o, t_o, X_o, acc
-
-        def _ba_noop(_):
-            return prob.R, prob.t, prob.X, jnp.asarray(False)
-
-        R_opt, t_opt, X_opt, accept = jax.lax.cond(
-            sig, _ba_opt, _ba_noop, None
+        # Shared gate chain: significance pre-gate (skip the LM solve
+        # when it cannot be accepted), accept gate, and the holdout
+        # validation gate — one implementation with the sequential path
+        # (`_ba_gated_solve`).
+        R_opt, t_opt, X_opt, accept = _ba_gated_solve(
+            prob, config, oc.ba_global_iterations
         )
         # Per-KF jump gate (Config.h:100) + padding guard.
         jump = jnp.linalg.norm(t_opt - prob.t, axis=-1)

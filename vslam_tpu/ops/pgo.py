@@ -44,6 +44,15 @@ class PGOProblem(NamedTuple):
     height: jnp.ndarray  # ()
     height_info: jnp.ndarray  # ()
     height_on: jnp.ndarray  # () bool
+    # Robust edges: where True, the edge gets a frozen consensus-scaled
+    # robust weight (see `robust_weights` — DCS-inspired, with a frozen
+    # consensus-relative squared falloff), guarding against a WRONG
+    # loop-closure edge dragging the whole graph (the reference trusts its
+    # gates outright, `Optimizer.cpp:723-755`; with the denser round-5
+    # closure cadence a single bad edge is likelier, so loop edges get the
+    # kernel while odometry edges stay trusted). None = all trusted.
+    e_robust: jnp.ndarray = None  # (E,) bool or None
+    dcs_phi: float = 16.0
 
 
 def build_odometry_edges(R, t, valid, frame_id, trans_sigma, rot_sigma):
@@ -98,6 +107,53 @@ def _height_residual(xi, t, gravity, height, sqinfo):
     return (t2 @ gravity - height) * sqinfo
 
 
+def robust_weights(prob: PGOProblem):
+    """FROZEN consensus-DCS weights for the robust (loop) edges, computed
+    once at the problem's INITIAL poses. Returns (E,) weights (1.0 for
+    trusted edges), or None when the problem has no robust edges.
+
+    Two deliberate deltas from textbook per-iteration DCS IRLS
+    (Agarwal et al. 2013):
+
+    * FROZEN, not re-estimated per GN iteration. Re-weighting ratchets
+      into outlier absorption (measured on the drifting-square probe): as
+      the solve starts satisfying a wrong edge its chi^2 falls, its
+      weight recovers, and it pulls harder — full-weight GN then walks
+      into the absorbed local minimum, identical to the un-kerneled
+      solve. At the odometry-integrated initial poses the wrong edge is
+      maximally distinguishable, so that is where the decision is made.
+    * CONSENSUS scaling: phi_eff = dcs_phi + 2 * median(robust chi^2).
+      Loop edges all measure the same accumulated drift, so on a
+      long-drift run EVERY genuine edge has huge initial chi^2; a fixed
+      phi would crush them all. Scaling phi by the consensus keeps
+      agreeing edges at (near-)full weight no matter how large the drift,
+      while an edge far above the consensus — a wrong closure — is
+      down-weighted by ~ phi_eff / chi2.
+    """
+    if prob.e_robust is None:
+        return None
+    dtype = prob.R.dtype
+    e_sqinfo = jnp.sqrt(prob.e_info) * prob.e_valid[:, None]
+    xi0e = jnp.zeros((prob.e_i.shape[0], 6), dtype)
+    r_e = jax.vmap(_edge_residual)(
+        xi0e, xi0e, prob.R[prob.e_i], prob.t[prob.e_i],
+        prob.R[prob.e_j], prob.t[prob.e_j], prob.e_R, prob.e_t, e_sqinfo,
+    )
+    chi2 = jnp.sum(r_e * r_e, axis=-1)
+    mask = prob.e_robust & prob.e_valid
+    vals = jnp.sort(jnp.where(mask, chi2, jnp.asarray(1e30, dtype)))
+    cnt = jnp.sum(mask)
+    med = jnp.where(cnt > 0, vals[jnp.maximum((cnt - 1) // 2, 0)], 0.0)
+    phi_eff = prob.dcs_phi + 2.0 * med
+    # Squared falloff (Tukey-like): agreeing edges (chi2 <= phi_eff) keep
+    # full weight; a dissenting edge is crushed ~ (phi_eff/chi2)^2 — the
+    # gentler first-order DCS falloff left a 10x-above-consensus wrong
+    # edge with effective sigma only 2x looser, still strong enough to
+    # bend the graph (probe in tests/test_pgo.py).
+    s = jnp.minimum(1.0, (phi_eff / jnp.maximum(chi2, 1e-12)) ** 2)
+    return jnp.where(prob.e_robust, s, 1.0)
+
+
 def total_chi2(prob: PGOProblem, R, t):
     """Total weighted constraint chi^2 (odometry + loop edges + height
     prior) of pose estimate (R, t) under the problem's measurements — the
@@ -121,7 +177,13 @@ def total_chi2(prob: PGOProblem, R, t):
         xi0v, t, jnp.broadcast_to(prob.gravity, (V, 3)),
         jnp.broadcast_to(prob.height, (V,)), h_sqinfo,
     )
-    return jnp.sum(r_e * r_e) + jnp.sum(r_h * r_h)
+    chi2_e = jnp.sum(r_e * r_e, axis=-1)
+    if prob.e_robust is not None:
+        # The gate metric must match what the optimizer minimizes: the
+        # frozen consensus-DCS weights (a pure function of the problem's
+        # initial poses, so before/after comparisons share them).
+        chi2_e = chi2_e * robust_weights(prob)
+    return jnp.sum(chi2_e) + jnp.sum(r_h * r_h)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
@@ -152,6 +214,11 @@ def optimize(prob: PGOProblem, iterations: int = 20, damping: float = 1e-6):
     edge_jac = jax.vmap(jax.jacrev(_edge_residual, argnums=(0, 1)))
     height_jac = jax.vmap(jax.jacrev(_height_residual, argnums=0))
 
+    # Frozen consensus-DCS weights (see `robust_weights`): decided once at
+    # the initial poses, applied as sqrt(s) on residual + Jacobians.
+    w_rob = robust_weights(prob)
+    sq_rob = None if w_rob is None else jnp.sqrt(w_rob)
+
     def body(_, carry):
         R_cur, t_cur = carry
         Ri, ti = R_cur[prob.e_i], t_cur[prob.e_i]
@@ -164,6 +231,10 @@ def optimize(prob: PGOProblem, iterations: int = 20, damping: float = 1e-6):
         Ji, Jj = edge_jac(
             xi0e, xi0e, Ri, ti, Rj, tj, prob.e_R, prob.e_t, e_sqinfo
         )  # (E, 6, 6) each
+        if sq_rob is not None:
+            r_e = r_e * sq_rob[:, None]
+            Ji = Ji * sq_rob[:, None, None]
+            Jj = Jj * sq_rob[:, None, None]
 
         xi0v = jnp.zeros((V, 6), dtype)
         r_h = jax.vmap(_height_residual)(
