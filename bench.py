@@ -999,6 +999,9 @@ def _run_stages(args, detail, hl, stage, budget):
                 "recovered": int(np.asarray(outs_l.recovered).sum()),
                 "stationary_frames": int(stat_np.sum()),
                 "loop_constraints": int(np.asarray(st_lf.loops.valid).sum()),
+                "inrun_corrections": int(
+                    np.asarray(st_lf.inrun_corrections)
+                ),
                 "tracked_frac": round(
                     float(np.asarray(outs_l.tracking_ok)[1:].mean()), 4
                 ),

@@ -370,6 +370,14 @@ class OptimizerConfig:
     pgo_height_sigma: float = 0.005
     pgo_iterations: int = 20
     max_loop_constraints: int = 32
+    # Accept a PGO solve that USES loop edges only when it moves some
+    # keyframe by at least this much: loop edges carry
+    # ~pgo_lc_trans_sigma of measurement noise, so sub-floor
+    # "corrections" inject noise instead of removing drift (stress-world
+    # round-4/5 bench: 0.059 -> 0.0711 post-backend from ONE noisy
+    # edge). Genuine drift at loop-closure scale moves keyframes by
+    # decimeters. Height-only passes (no loop edges) are unaffected.
+    pgo_loop_min_correction_m: float = 0.08
     # DCS (Dynamic Covariance Scaling) on loop-closure edges: a loop edge
     # whose chi^2 exceeds phi is down-weighted by s = 2*phi/(phi+chi2),
     # so one wrong closure that slipped the detection gates cannot drag
@@ -389,6 +397,16 @@ class OptimizerConfig:
     # (the lax.cond never takes the branch).
     inrun_pgo: bool = True
     inrun_pgo_iterations: int = 10
+    # Fold an in-run correction back into the live state only when the
+    # newest keyframe moves by at least this much. A fresh loop edge's
+    # pose carries up to ~0.08 m of measurement noise (rehearsal: accepted
+    # constraints with t_err 0.007-0.077), so low-drift runs with
+    # corrections in that band get pure noise injection (2,560-frame
+    # rehearsal: raw ATE 0.073 with 0.08-gated folds vs 0.045 with none).
+    # The runs the feature exists for — jump gate is 0.5 m, round-4 long
+    # runs bent 0.4 m — move the newest KF by >= 0.2 m; below that the
+    # post-hoc backend (with its own floors) polishes better.
+    inrun_min_correction_m: float = 0.20
 
 
 @dataclasses.dataclass(frozen=True)

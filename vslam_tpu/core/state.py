@@ -130,6 +130,11 @@ class TrackState(NamedTuple):
     initial_height: jnp.ndarray  # ()
     has_height: jnp.ndarray  # () bool
 
+    # IN-RUN loop-correction events actually folded back into the live
+    # state (`pipeline.inrun_pgo_correct` correction-size gate) — bench
+    # attribution counter.
+    inrun_corrections: jnp.ndarray = None  # () int32
+
 
 class StepOutputs(NamedTuple):
     """Per-frame scan outputs (poses, EKF snapshots, diagnostics)."""
@@ -250,4 +255,5 @@ def init_state(config: SlamConfig, R0=None, t0=None, gravity=None, initial_heigh
         gravity=jnp.asarray(gravity, f32),
         initial_height=jnp.asarray(initial_height, f32),
         has_height=jnp.asarray(has_g),
+        inrun_corrections=jnp.asarray(0, jnp.int32),
     )

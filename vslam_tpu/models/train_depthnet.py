@@ -111,9 +111,21 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_trainer(lr=2e-3, height=FULL_H // 2, width=FULL_W // 2):
+def make_trainer(lr=2e-3, height=FULL_H // 2, width=FULL_W // 2,
+                 total_steps=None):
     model = depthnet.DepthNet()
-    tx = optax.adam(lr)
+    if total_steps:
+        # Warmup + cosine decay to ~0: the flat-lr run plateaued at
+        # L1(log) ~0.08 with visible step noise; annealing buys the last
+        # factor toward the data floor.
+        tx = optax.adam(
+            optax.warmup_cosine_decay_schedule(
+                0.0, lr, warmup_steps=min(200, total_steps // 10),
+                decay_steps=total_steps, end_value=lr * 1e-2,
+            )
+        )
+    else:
+        tx = optax.adam(lr)
 
     def init(key):
         params = model.init(key, jnp.zeros((1, height, width, 1), jnp.float32))
@@ -170,7 +182,7 @@ def train(
     Returns (TrainState, history list of losses)."""
     rng = np.random.default_rng(seed)
     steps_per_scan = max(min(steps_per_scan, steps), 1)
-    init, _, make_epoch = make_trainer(lr=lr)
+    init, _, make_epoch = make_trainer(lr=lr, total_steps=steps)
     state = init(jax.random.PRNGKey(seed))
     if log:
         log(f"rendering {num_images} training frames...")

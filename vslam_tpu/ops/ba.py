@@ -425,10 +425,6 @@ def ba_significant(prob: BAProblem, huber_px: float = 5.0,
     return c0 > min_cost_per_obs * n_obs
 
 
-# Module-level jit so host-driven callers (run_windowed_ba) get a cached
-# one-dispatch significance probe instead of op-by-op relay round trips.
-ba_significant_jit = jax.jit(ba_significant)
-
 
 def ba_accept_window(prob: BAProblem, R_opt, t_opt, X_opt,
                      huber_px: float = 5.0, min_cost_per_obs: float = 4.0):
