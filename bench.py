@@ -605,6 +605,76 @@ def _run_stages(args, detail, hl, stage, budget):
         _stage_stress,
     )
 
+    # ---- LONG: reference true sequence scale (runs EARLY: the flagship
+    # quality number must survive a tight driver budget) ----
+    def _stage_long():
+        S_l = (long_frames + CHUNK - 1) // CHUNK
+        nL = S_l * CHUNK
+        ld = stress_world("s202_l2.5", nL)
+        stat_np = pipeline.detect_stationary(
+            ld["accel"], ld["timestamps"],
+            window=cfg.ekf.stationary_window_s,
+            threshold=cfg.ekf.stationary_accel_std,
+        )
+        gravity, h0 = pipeline.compute_gravity_direction(
+            ld["accel"], np.eye(3, dtype=np.float32)
+        )
+        st_l0 = init_state(cfg, gravity=gravity, initial_height=h0)
+
+        def chunkedL(x, dtype=None):
+            a = np.asarray(x)
+            if dtype is not None:
+                a = a.astype(dtype)
+            return jnp.asarray(a.reshape((S_l, CHUNK) + a.shape[1:]))
+
+        grayL = chunkedL(ld["gray"])
+        depL = chunkedL(ld["depth_u16"])
+        tsL = chunkedL(ld["timestamps"], np.float32)
+        fidL = chunkedL(np.arange(nL, dtype=np.int32))
+        statL = chunkedL(stat_np)
+        st_lf, _, outs_l = run_world(grayL, depL, None, tsL, fidL, statL,
+                                     st0=st_l0)
+        res_l = pipeline.result_from_outputs(
+            st_lf, outs_l, keep_refine=cfg.ekf.smooth_keep_refine,
+            rts_parallel=cfg.ekf.rts_parallel,
+        )
+        res_lb = pipeline.run_backend(res_l, cfg)
+        ate_l = float(ate_mod.compute_ate(
+            ld["timestamps"], res_l.t_smoothed, ld["timestamps"], ld["t"],
+            with_scale=False,
+        ).rmse)
+        ate_lb = float(ate_mod.compute_ate(
+            ld["timestamps"], res_lb.t_smoothed, ld["timestamps"], ld["t"],
+            with_scale=False,
+        ).rmse)
+        detail["long_run"] = {
+            "frames": nL,
+            "ate_rmse_m": round(ate_l, 4),
+            "ate_after_backend_m": round(ate_lb, 4),
+            "branch_counts": {
+                "keyframes": int(np.asarray(outs_l.is_keyframe).sum()),
+                "bridged": int(np.asarray(outs_l.bridged).sum()),
+                "recovered": int(np.asarray(outs_l.recovered).sum()),
+                "stationary_frames": int(stat_np.sum()),
+                "loop_constraints": int(np.asarray(st_lf.loops.valid).sum()),
+                "inrun_corrections": int(
+                    np.asarray(st_lf.inrun_corrections)
+                ),
+                "tracked_frac": round(
+                    float(np.asarray(outs_l.tracking_ok)[1:].mean()), 4
+                ),
+            },
+        }
+
+    S_long = (long_frames + CHUNK - 1) // CHUNK
+    stage(
+        "long",
+        _stress_est("s202_l2.5", S_long * CHUNK, E(420, 35), cached_est=40)
+        + E(120, 25),
+        _stage_long,
+    )
+
+
     # ---- MONO: all-invalid depth -> essential + scale chain, same program ----
     def _stage_mono():
         d0 = world(0)
@@ -949,73 +1019,6 @@ def _run_stages(args, detail, hl, stage, budget):
     stage("ate_wide", E(60, 25), _stage_ate_wide)
 
     # ---- LONG run at the reference's true sequence scale ----
-    def _stage_long():
-        S_l = (long_frames + CHUNK - 1) // CHUNK
-        nL = S_l * CHUNK
-        ld = stress_world("s202_l2.5", nL)
-        stat_np = pipeline.detect_stationary(
-            ld["accel"], ld["timestamps"],
-            window=cfg.ekf.stationary_window_s,
-            threshold=cfg.ekf.stationary_accel_std,
-        )
-        gravity, h0 = pipeline.compute_gravity_direction(
-            ld["accel"], np.eye(3, dtype=np.float32)
-        )
-        st_l0 = init_state(cfg, gravity=gravity, initial_height=h0)
-
-        def chunkedL(x, dtype=None):
-            a = np.asarray(x)
-            if dtype is not None:
-                a = a.astype(dtype)
-            return jnp.asarray(a.reshape((S_l, CHUNK) + a.shape[1:]))
-
-        grayL = chunkedL(ld["gray"])
-        depL = chunkedL(ld["depth_u16"])
-        tsL = chunkedL(ld["timestamps"], np.float32)
-        fidL = chunkedL(np.arange(nL, dtype=np.int32))
-        statL = chunkedL(stat_np)
-        st_lf, _, outs_l = run_world(grayL, depL, None, tsL, fidL, statL,
-                                     st0=st_l0)
-        res_l = pipeline.result_from_outputs(
-            st_lf, outs_l, keep_refine=cfg.ekf.smooth_keep_refine,
-            rts_parallel=cfg.ekf.rts_parallel,
-        )
-        res_lb = pipeline.run_backend(res_l, cfg)
-        ate_l = float(ate_mod.compute_ate(
-            ld["timestamps"], res_l.t_smoothed, ld["timestamps"], ld["t"],
-            with_scale=False,
-        ).rmse)
-        ate_lb = float(ate_mod.compute_ate(
-            ld["timestamps"], res_lb.t_smoothed, ld["timestamps"], ld["t"],
-            with_scale=False,
-        ).rmse)
-        detail["long_run"] = {
-            "frames": nL,
-            "ate_rmse_m": round(ate_l, 4),
-            "ate_after_backend_m": round(ate_lb, 4),
-            "branch_counts": {
-                "keyframes": int(np.asarray(outs_l.is_keyframe).sum()),
-                "bridged": int(np.asarray(outs_l.bridged).sum()),
-                "recovered": int(np.asarray(outs_l.recovered).sum()),
-                "stationary_frames": int(stat_np.sum()),
-                "loop_constraints": int(np.asarray(st_lf.loops.valid).sum()),
-                "inrun_corrections": int(
-                    np.asarray(st_lf.inrun_corrections)
-                ),
-                "tracked_frac": round(
-                    float(np.asarray(outs_l.tracking_ok)[1:].mean()), 4
-                ),
-            },
-        }
-
-    S_long = (long_frames + CHUNK - 1) // CHUNK
-    stage(
-        "long",
-        _stress_est("s202_l2.5", S_long * CHUNK, E(420, 35), cached_est=40)
-        + E(120, 25),
-        _stage_long,
-    )
-
     # ---- Multi-sequence coupled runs (B independent streams, measured) ----
     def _stage_multi_coupled():
         from vslam_tpu.parallel import mesh as pmesh2
