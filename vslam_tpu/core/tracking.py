@@ -689,20 +689,25 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     kfs = st.keyframes
     KFC, K, D = kfs.desc.shape
 
-    slot_ids = jnp.arange(KFC, dtype=jnp.int32)
+    # Candidate set is every `kf_stride`-th ring slot (LoopCloser.cpp:
+    # 43-48) — a STATIC strided slice, so the all-KF distance tensor is
+    # (KFC/stride, K, K) instead of computing all KFC rows and masking
+    # 4/5 of them away (the d2 intermediate drops ~160 MB -> ~32 MB at
+    # the 256-slot ring).
+    stride = int(lc.kf_stride)
+    desc_s = kfs.desc[::stride]  # (KFS, K, D)
     cand = (
-        kfs.valid
-        & (frame.frame_id - kfs.frame_id >= lc.min_frame_gap)
-        & (jnp.mod(slot_ids, lc.kf_stride) == 0)
+        kfs.valid[::stride]
+        & (frame.frame_id - kfs.frame_id[::stride] >= lc.min_frame_gap)
     )
 
-    # Distances: current frame (K, D) vs all KF descriptors (KFC, K, D).
-    dots = jnp.einsum("kd,oid->oki", frame.desc, kfs.desc)  # (KFC, K, K)
+    # Distances: current frame (K, D) vs candidate KF descriptors.
+    dots = jnp.einsum("kd,oid->oki", frame.desc, desc_s)  # (KFS, K, K)
     d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
     d2 = jnp.where(frame.valid[None, :, None], d2, 1e9)
-    d2 = jnp.where(kfs.kp_valid[:, None, :], d2, 1e9)
-    dd1 = jnp.min(d2, axis=-1)  # (KFC, K)
-    best_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (KFC, K)
+    d2 = jnp.where(kfs.kp_valid[::stride][:, None, :], d2, 1e9)
+    dd1 = jnp.min(d2, axis=-1)  # (KFS, K)
+    best_idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (KFS, K)
     cols = jnp.arange(d2.shape[-1], dtype=jnp.int32)
     dd2 = jnp.min(
         jnp.where(cols[None, None, :] == best_idx[..., None], 1e9, d2), axis=-1
@@ -710,87 +715,106 @@ def _handle_loop_closure(st: TrackState, frame: FrameFeatures, config: SlamConfi
     match_ok = (dd1 < config.frontend.l2_ratio_threshold * dd2) & (
         dd1 < 1e8
     ) & frame.valid[None, :]
-    counts = jnp.sum(match_ok, axis=-1) * cand  # (KFC,)
-    best_kf = jnp.argmax(counts).astype(jnp.int32)
-    enough = counts[best_kf] >= config.frontend.min_matches
+    counts = jnp.sum(match_ok, axis=-1) * cand  # (KFS,)
+    best_s = jnp.argmax(counts).astype(jnp.int32)
+    best_kf = best_s * stride  # ring slot of the winning candidate
+    best_count = counts[best_s]
+    enough = best_count >= config.frontend.min_matches
 
-    # Essential verification on the best candidate's matches.
-    uv_cur = frame.xy
-    uv_old = kfs.xy[best_kf][best_idx[best_kf]]  # matched old-KF pixels per cur kp
-    mok = match_ok[best_kf]
-    k1, k2 = jax.random.split(key)
-    _, _, _, eres = rs.ransac_essential(
-        k1, uv_old, uv_cur, mok, fx, fy, cx, cy,
-        num_hypotheses=config.motion.em_ransac_iters,
-        threshold_px=config.motion.em_ransac_threshold_px,
-        min_inliers=lc.min_inliers,
-    )
-
-    # PnP against the anchor keyframe's depth-backprojected keypoints
-    # (redesigned `Slam.cpp:744-782` stage — see docstring): the 2D-3D
-    # correspondences are the detection matches themselves, with the 3D
-    # side lifted from the anchor's stored sensor depth at its estimated
-    # pose. Both endpoints live in the same (drifted) trajectory frame,
-    # so the RELATIVE constraint is drift-free up to sensor noise.
+    mok = match_ok[best_s]
+    bi = best_idx[best_s]  # (K,) anchor-kp index matched per current kp
     cand_frame_id = kfs.frame_id[best_kf]
-    d_old = kfs.depth[best_kf]  # (K,) sensor depth at anchor keypoints
-    d_ok_old = (d_old > config.camera.depth_min) & (
-        d_old < config.camera.depth_max
-    )
-    X_w = se3.transform_points(
-        kfs.R[best_kf], kfs.t[best_kf],
-        cam.backproject(kfs.xy[best_kf], d_old, fx, fy, cx, cy),
-    )  # (K, 3) anchor keypoints in world
-    bi = best_idx[best_kf]  # (K,) anchor-kp index matched per current kp
-    X = X_w[bi]
-    corr_ok = mok & d_ok_old[bi]
-    pnp_res = pnp_ops.ransac_pnp(
-        k2, X, frame.xy, corr_ok, fx, fy, cx, cy,
-        num_hypotheses=config.pnp.ransac_iters,
-        threshold_px=config.pnp.ransac_threshold_px,
-        min_inliers=config.pnp.min_points,
-    )
-    # Two-stage tightened polish of the constraint pose (delta from
-    # `src/Slam.cpp:778-782`, which measures the constraint straight off
-    # the 8 px-gated solvePnPRansac pose): re-select correspondences at
-    # loop.refine_threshold_px against the RANSAC pose and Huber-GN with
-    # a small delta, so the PGO edge (sigma_t=0.03 m, Config.h:134) is
-    # measured from sub-pixel-consistent map points only. Falls back to
-    # the RANSAC pose when too few tight correspondences survive.
-    R_cw, t_cw = se3.inverse(pnp_res.R, pnp_res.t)
-    if lc.refine_threshold_px > 0.0:
-        p_c = se3.transform_points(R_cw, t_cw, X)
-        uv_hat, front = cam.project(p_c, fx, fy, cx, cy)
-        t_err_px = jnp.linalg.norm(uv_hat - frame.xy, axis=-1)
-        tight = (t_err_px < lc.refine_threshold_px) & front & corr_ok
-        n_tight = jnp.sum(tight)
-        R_cw2, t_cw2 = pnp_ops.gn_refine_pose(
-            R_cw, t_cw, X, frame.xy, tight.astype(X.dtype), fx, fy, cx, cy,
-            iters=lc.refine_gn_iters, huber_px=lc.refine_huber_px,
+
+    def _verify(_):
+        """E-RANSAC + PnP + polish on the winning candidate — only run
+        when the match stage produced enough correspondences; on a
+        loop-free run every check exits at the cheap match stage (the
+        RANSAC/GN chain is ~10x the match cost in pure dispatch
+        latency)."""
+        # Essential verification on the best candidate's matches.
+        uv_cur = frame.xy
+        uv_old = kfs.xy[best_kf][bi]  # matched old-KF pixels per cur kp
+        k1, k2 = jax.random.split(key)
+        _, _, _, eres = rs.ransac_essential(
+            k1, uv_old, uv_cur, mok, fx, fy, cx, cy,
+            num_hypotheses=config.motion.em_ransac_iters,
+            threshold_px=config.motion.em_ransac_threshold_px,
+            min_inliers=lc.min_inliers,
         )
-        use_tight = n_tight >= config.pnp.min_points
-        R_cw = jnp.where(use_tight, R_cw2, R_cw)
-        t_cw = jnp.where(use_tight, t_cw2, t_cw)
-    R_pnp, t_pnp = se3.inverse(R_cw, t_cw)
 
-    jump = jnp.linalg.norm(t_pnp - t_new)
-    # Spacing between ACCEPTED constraints (see LoopClosureConfig
-    # .min_frames_between_accepts): the denser check cadence would
-    # otherwise fill the buffer with near-duplicates of one revisit.
-    last_to = jnp.max(jnp.where(st.loops.valid, st.loops.to_id, -1))
-    spaced = frame.frame_id - last_to >= lc.min_frames_between_accepts
-    accept = (
-        enough
-        & eres.ok
-        & pnp_res.ok
-        & (jump > lc.min_jump)
-        & (jump < lc.max_jump)
-        & (counts[best_kf] > 0)
-        & spaced
-    )
+        # PnP against the anchor keyframe's depth-backprojected keypoints
+        # (redesigned `Slam.cpp:744-782` stage — see docstring): the 2D-3D
+        # correspondences are the detection matches themselves, with the 3D
+        # side lifted from the anchor's stored sensor depth at its estimated
+        # pose. Both endpoints live in the same (drifted) trajectory frame,
+        # so the RELATIVE constraint is drift-free up to sensor noise.
+        d_old = kfs.depth[best_kf]  # (K,) sensor depth at anchor keypoints
+        d_ok_old = (d_old > config.camera.depth_min) & (
+            d_old < config.camera.depth_max
+        )
+        X_w = se3.transform_points(
+            kfs.R[best_kf], kfs.t[best_kf],
+            cam.backproject(kfs.xy[best_kf], d_old, fx, fy, cx, cy),
+        )  # (K, 3) anchor keypoints in world
+        X = X_w[bi]
+        corr_ok = mok & d_ok_old[bi]
+        pnp_res = pnp_ops.ransac_pnp(
+            k2, X, frame.xy, corr_ok, fx, fy, cx, cy,
+            num_hypotheses=config.pnp.ransac_iters,
+            threshold_px=config.pnp.ransac_threshold_px,
+            min_inliers=config.pnp.min_points,
+        )
+        # Two-stage tightened polish of the constraint pose (delta from
+        # `src/Slam.cpp:778-782`, which measures the constraint straight off
+        # the 8 px-gated solvePnPRansac pose): re-select correspondences at
+        # loop.refine_threshold_px against the RANSAC pose and Huber-GN with
+        # a small delta, so the PGO edge (sigma_t=0.03 m, Config.h:134) is
+        # measured from sub-pixel-consistent map points only. Falls back to
+        # the RANSAC pose when too few tight correspondences survive.
+        R_cw, t_cw = se3.inverse(pnp_res.R, pnp_res.t)
+        if lc.refine_threshold_px > 0.0:
+            p_c = se3.transform_points(R_cw, t_cw, X)
+            uv_hat, front = cam.project(p_c, fx, fy, cx, cy)
+            t_err_px = jnp.linalg.norm(uv_hat - frame.xy, axis=-1)
+            tight = (t_err_px < lc.refine_threshold_px) & front & corr_ok
+            n_tight = jnp.sum(tight)
+            R_cw2, t_cw2 = pnp_ops.gn_refine_pose(
+                R_cw, t_cw, X, frame.xy, tight.astype(X.dtype), fx, fy, cx, cy,
+                iters=lc.refine_gn_iters, huber_px=lc.refine_huber_px,
+            )
+            use_tight = n_tight >= config.pnp.min_points
+            R_cw = jnp.where(use_tight, R_cw2, R_cw)
+            t_cw = jnp.where(use_tight, t_cw2, t_cw)
+        R_pnp, t_pnp = se3.inverse(R_cw, t_cw)
 
-    # Constraint: relative pose between matched KF and PnP-verified pose.
-    R_rel, t_rel = se3.relative(kfs.R[best_kf], kfs.t[best_kf], R_pnp, t_pnp)
+        jump = jnp.linalg.norm(t_pnp - t_new)
+        # Spacing between ACCEPTED constraints (see LoopClosureConfig
+        # .min_frames_between_accepts): the denser check cadence would
+        # otherwise fill the buffer with near-duplicates of one revisit.
+        last_to = jnp.max(jnp.where(st.loops.valid, st.loops.to_id, -1))
+        spaced = frame.frame_id - last_to >= lc.min_frames_between_accepts
+        acc = (
+            eres.ok
+            & pnp_res.ok
+            & (jump > lc.min_jump)
+            & (jump < lc.max_jump)
+            & (best_count > 0)
+            & spaced
+        )
+        # Constraint: relative pose between matched KF and PnP pose.
+        R_rel, t_rel = se3.relative(
+            kfs.R[best_kf], kfs.t[best_kf], R_pnp, t_pnp
+        )
+        return acc, R_rel, t_rel
+
+    def _skip(_):
+        return (
+            jnp.asarray(False),
+            jnp.eye(3, dtype=kfs.R.dtype),
+            jnp.zeros(3, dtype=kfs.t.dtype),
+        )
+
+    accept, R_rel, t_rel = jax.lax.cond(enough, _verify, _skip, None)
     loops = st.loops
     cursor = jnp.sum(loops.valid)
     L = loops.valid.shape[0]
