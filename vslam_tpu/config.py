@@ -378,6 +378,15 @@ class OptimizerConfig:
     # edge). Genuine drift at loop-closure scale moves keyframes by
     # decimeters. Height-only passes (no loop edges) are unaffected.
     pgo_loop_min_correction_m: float = 0.08
+    # A SINGLE loop edge has no redundancy: the consensus-DCS weights
+    # below need >= 2 edges to cross-check, so a lone edge's ~sigma_t of
+    # measurement noise passes straight into the solve. Accept a
+    # one-edge solve only when the implied correction dwarfs that noise
+    # (~8 sigma). Measured: the stress-world bench accepts its single
+    # noisy edge at the 0.08 floor and degrades ATE 0.059 -> 0.0657;
+    # genuine one-edge corrections (the 0.5 m drifted-gap test) clear
+    # 0.25 easily.
+    pgo_single_loop_min_correction_m: float = 0.25
     # DCS (Dynamic Covariance Scaling) on loop-closure edges: a loop edge
     # whose chi^2 exceeds phi is down-weighted by s = 2*phi/(phi+chi2),
     # so one wrong closure that slipped the detection gates cannot drag
@@ -399,14 +408,19 @@ class OptimizerConfig:
     inrun_pgo_iterations: int = 10
     # Fold an in-run correction back into the live state only when the
     # newest keyframe moves by at least this much. A fresh loop edge's
-    # pose carries up to ~0.08 m of measurement noise (rehearsal: accepted
-    # constraints with t_err 0.007-0.077), so low-drift runs with
-    # corrections in that band get pure noise injection (2,560-frame
-    # rehearsal: raw ATE 0.073 with 0.08-gated folds vs 0.045 with none).
-    # The runs the feature exists for — jump gate is 0.5 m, round-4 long
-    # runs bent 0.4 m — move the newest KF by >= 0.2 m; below that the
-    # post-hoc backend (with its own floors) polishes better.
-    inrun_min_correction_m: float = 0.20
+    # pose carries up to ~0.08 m of measurement noise (rehearsal:
+    # accepted constraints with t_err 0.007-0.077): sub-noise folds
+    # inject that noise into the live state, and each fold STEERS the
+    # rest of the run (later tracking, loop candidates and folds all
+    # shift), so the floor is the most sensitive constant in the
+    # backend. Measured on the 2,560-frame image-level long bench
+    # (scripts/diag_long_variants.py, raw ATE): floor 0.0 -> 1.36 (noise
+    # folds cascade), 0.08 -> 0.15, 0.12 -> 1.33 (a needed fold skipped,
+    # the run bends, later folds fire in inconsistent frames), 0.20 ->
+    # 0.27, no in-run -> 0.40. The noise band's upper edge (~0.08,
+    # = 2.7x pgo_lc_trans_sigma) is the principled choice: every fold
+    # it admits moves the state by more than the edge noise.
+    inrun_min_correction_m: float = 0.08
 
 
 @dataclasses.dataclass(frozen=True)

@@ -209,11 +209,18 @@ def run_tracking(
 
 
 def pgo_ring_solve(st, gravity_opt, initial_height, config,
-                   iterations=None):
+                   iterations=None, single_edge_floor=True):
     """Gain-gated PGO over the keyframe ring + loop constraints + height
     prior — the solve shared by the post-hoc backend (`_pgo_pass`) and
     the IN-RUN correction inside the coupled program
     (`core.coupled.run_coupled`). Pure traced function (callers jit).
+
+    `single_edge_floor` applies the one-edge correction floor
+    (OptimizerConfig.pgo_single_loop_min_correction_m) — on for the
+    post-hoc backend, OFF for the in-run path: mid-run an uncorrected
+    drift COMPOUNDS (later constraints fail the jump gate, tracking
+    degrades), so acting on the first edge is worth the noise risk, and
+    the in-run fold has its own floor at the newest keyframe on top.
 
     Returns (R_opt, t_opt): the current ring poses when the pass is
     skipped (not significant) or rejected (no chi^2 improvement).
@@ -298,15 +305,24 @@ def pgo_ring_solve(st, gravity_opt, initial_height, config,
         # ATE 0.059 -> 0.0711 post-backend from one noisy edge). A
         # materially bent trajectory moves keyframes by decimeters;
         # below the floor, reject. Height-only passes are unaffected.
+        # A SINGLE loop edge additionally has no consensus redundancy
+        # (the DCS weights need >= 2 edges to cross-check), so one-edge
+        # solves must clear the much larger single-edge floor — see
+        # OptimizerConfig.pgo_single_loop_min_correction_m.
         max_dt = jnp.max(
             jnp.where(
                 kfs.valid, jnp.linalg.norm(t_opt - kfs.t, axis=-1), 0.0
             )
         )
-        acc = acc & (
-            (jnp.sum(l_fresh) == 0)
-            | (max_dt >= oc.pgo_loop_min_correction_m)
+        n_loop = jnp.sum(l_fresh)
+        single_floor = (
+            oc.pgo_single_loop_min_correction_m if single_edge_floor
+            else oc.pgo_loop_min_correction_m
         )
+        floor = jnp.where(
+            n_loop >= 2, oc.pgo_loop_min_correction_m, single_floor
+        )
+        acc = acc & ((n_loop == 0) | (max_dt >= floor))
         return jnp.where(acc, R_opt, kfs.R), jnp.where(acc, t_opt, kfs.t)
 
     def _pgo_noop(_):
@@ -372,6 +388,7 @@ def inrun_pgo_correct(st: TrackState, config: SlamConfig) -> TrackState:
     R_opt, t_opt = pgo_ring_solve(
         st, None, st.initial_height, config,
         iterations=config.opt.inrun_pgo_iterations,
+        single_edge_floor=False,
     )
     # Correction-size gate (round-5, measured): a fresh loop constraint
     # carries ~sigma_t of measurement noise, so on a LOW-drift run an
